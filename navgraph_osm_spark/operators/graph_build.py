@@ -1,0 +1,194 @@
+"""Graph build: OSM-like tables → per-cell routable edge DataFrame.
+
+Re-expresses the reference's EP2 macro-phase (reference main.cpp:224-755) as
+a declarative Spark plan:
+
+- F1/F2 highway + oneway predicates (reference worker.hpp:92-122)
+- A1 endpoint-weighted node usage counts (reference main.cpp:270-283,
+  endpoint weight 2 via negated ids at worker.hpp:142-144)
+- J1 nodes ⋈ usage (reference main.cpp:298-327) — inner join doubles as the
+  "drop unused nodes" filter
+- W1 way segmentation at nodes with ``used > 1`` (reference main.cpp:557-717)
+- W2 haversine leg costs with the reference's Earth radius
+  (reference utils/geomath.cpp:7-21, geomath.hpp:6)
+- §2.6 union: reverse edges for two-way streets (reference main.cpp:609-617)
+- geo-cell assignment on the source node (reference main.cpp:587-620);
+  border edges flagged when endpoints fall in different cells (the
+  reference's dual-pixel duplication, main.cpp:621-708, is deferred to the
+  turn-expansion join which keys by the via node's cell — zero duplication).
+
+Scale notes: one shuffle for the usage agg (map-side partial), one for the
+node join, one window shuffle keyed by way_id, one groupBy (way_id, seg).
+Edge ids are content-derived (way_id/seg/direction packed) — no global
+row_number, so no single-partition bottleneck at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from navgraph_osm_spark.cells import cell_expr
+from navgraph_osm_spark.functions.geo import haversine_expr
+from navgraph_osm_spark.sources.synth import HIGHWAY_ALLOWED
+
+MAX_SEGMENTS_PER_WAY = 1 << 19  # edge-id packing bound (OSM max nodes/way = 2000)
+
+
+def filter_ways(ways: DataFrame) -> DataFrame:
+    """F1 highway allowlist + F2 oneway predicate → (way_id, oneway:boolean)."""
+    return ways.filter(F.col("highway").isin(HIGHWAY_ALLOWED)).select(
+        F.col("id").alias("way_id"),
+        F.col("oneway").isin("yes", "1").alias("oneway"),
+    )
+
+
+def node_usage(way_nodes_kept: DataFrame) -> DataFrame:
+    """A1: per node, sum(endpoint ? 2 : 1) over occurrences in kept ways."""
+    return way_nodes_kept.groupBy("node_id").agg(
+        F.sum(F.when(F.col("is_endpoint"), 2).otherwise(1)).alias("used")
+    )
+
+
+def _kept_way_nodes(ways: DataFrame, way_nodes: DataFrame) -> DataFrame:
+    kept = filter_ways(ways)
+    wn = way_nodes.join(kept, "way_id")
+    w_span = Window.partitionBy("way_id")
+    return wn.withColumn("max_seq", F.max("seq").over(w_span)).withColumn(
+        "is_endpoint", (F.col("seq") == 0) | (F.col("seq") == F.col("max_seq"))
+    )
+
+
+def build_edges(
+    nodes: DataFrame, ways: DataFrame, way_nodes: DataFrame, res: int = 12
+) -> DataFrame:
+    """Full EP2 pipeline → edges DataFrame.
+
+    Output columns: edge_id, way_id, seg, direction (0 fwd / 1 rev),
+    oneway, src_node, src_lat, src_lng, tgt_node, tgt_lat, tgt_lng,
+    cost (km), geom array<struct<lat,lng>>, src_cell, tgt_cell, is_border.
+    """
+    wn = _kept_way_nodes(ways, way_nodes)
+    used = node_usage(wn)
+    nodes_kept = nodes.join(used, nodes["id"] == used["node_id"], "inner").select(
+        F.col("id").alias("node_id"), "lat", "lng", "used"
+    )  # J1
+
+    occ = wn.select("way_id", "seq", "node_id", "oneway", "max_seq").join(
+        nodes_kept, "node_id"
+    )
+
+    # W1 segmentation: cut_before = #split-nodes strictly before this seq.
+    w_seq = Window.partitionBy("way_id").orderBy("seq")
+    split = F.col("used") > 1
+    occ = occ.withColumn(
+        "cut_before",
+        F.coalesce(
+            F.sum(split.cast("int")).over(
+                w_seq.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    # membership: split rows close segment (cut_before-1) and open (cut_before);
+    # non-split rows belong to (cut_before-1) only.
+    seg_array = F.when(
+        split,
+        F.filter(
+            F.array(
+                F.when(F.col("seq") > 0, F.col("cut_before") - 1),
+                F.when(F.col("seq") < F.col("max_seq"), F.col("cut_before")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array(F.col("cut_before") - 1))
+    occ = occ.withColumn("seg", F.explode(seg_array))
+
+    # W2 + A6: one groupBy per (way, segment); geometry inline, cost from legs.
+    w_leg = Window.partitionBy("way_id", "seg").orderBy("seq")
+    occ = occ.withColumn("prev_lat", F.lag("lat").over(w_leg)).withColumn(
+        "prev_lng", F.lag("lng").over(w_leg)
+    )
+    leg = F.when(
+        F.col("prev_lat").isNull(), F.lit(0.0)
+    ).otherwise(
+        haversine_expr(F.col("prev_lat"), F.col("prev_lng"), F.col("lat"), F.col("lng"))
+    )
+    segs = (
+        occ.withColumn("leg_cost", leg)
+        .groupBy("way_id", "seg")
+        .agg(
+            F.first("oneway").alias("oneway"),
+            F.sum("leg_cost").alias("cost"),
+            F.min_by("node_id", "seq").alias("src_node"),
+            F.min_by("lat", "seq").alias("src_lat"),
+            F.min_by("lng", "seq").alias("src_lng"),
+            F.max_by("node_id", "seq").alias("tgt_node"),
+            F.max_by("lat", "seq").alias("tgt_lat"),
+            F.max_by("lng", "seq").alias("tgt_lng"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "lat", "lng"))),
+                lambda s: F.struct(s["lat"].alias("lat"), s["lng"].alias("lng")),
+            ).alias("geom"),
+        )
+    )
+
+    fwd = segs.withColumn("direction", F.lit(0))
+    rev = (
+        segs.filter(~F.col("oneway"))
+        .select(
+            "way_id",
+            "seg",
+            "oneway",
+            "cost",
+            F.col("tgt_node").alias("src_node"),
+            F.col("tgt_lat").alias("src_lat"),
+            F.col("tgt_lng").alias("src_lng"),
+            F.col("src_node").alias("tgt_node"),
+            F.col("src_lat").alias("tgt_lat"),
+            F.col("src_lng").alias("tgt_lng"),
+            F.reverse("geom").alias("geom"),
+        )
+        .withColumn("direction", F.lit(1))
+    )
+    edges = fwd.unionByName(rev, allowMissingColumns=False)
+
+    edges = (
+        edges.withColumn("src_cell", cell_expr(F.col("src_lat"), F.col("src_lng"), res))
+        .withColumn("tgt_cell", cell_expr(F.col("tgt_lat"), F.col("tgt_lng"), res))
+        .withColumn("is_border", F.col("src_cell") != F.col("tgt_cell"))
+        .withColumn(
+            "edge_id",
+            F.col("way_id") * F.lit(2 * MAX_SEGMENTS_PER_WAY)
+            + F.col("seg") * 2
+            + F.col("direction"),
+        )
+    )
+    return edges.select(
+        "edge_id", "way_id", "seg", "direction", "oneway",
+        "src_node", "src_lat", "src_lng", "tgt_node", "tgt_lat", "tgt_lng",
+        "cost", "geom", "src_cell", "tgt_cell", "is_border",
+    )
+
+
+def construction_counts(
+    nodes: DataFrame, ways: DataFrame, way_nodes: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """The reference's stderr counters as a metrics DataFrame.
+
+    Mirrors Filestat (reference include/benchmark/filestat.hpp:7-20,
+    reported main.cpp:204-222) + per-cell edge counts (main.cpp:916).
+    """
+    wn = _kept_way_nodes(ways, way_nodes)
+    used = node_usage(wn)
+    nodes_kept = nodes.join(used, nodes["id"] == used["node_id"], "left_semi")
+    return (
+        edges.agg(
+            F.countDistinct("src_cell").alias("cells_used"),
+            F.count("*").alias("edges_emitted"),
+            F.countDistinct("way_id").alias("ways_split"),
+        )
+        .crossJoin(nodes_kept.agg(F.count("*").alias("nodes_kept")))
+        .crossJoin(nodes.agg(F.count("*").alias("nodes_total")))
+        .crossJoin(filter_ways(ways).agg(F.count("*").alias("ways_used")))
+    )

@@ -1,0 +1,103 @@
+"""kNN join via cell ring expansion with distance-bounded pruning.
+
+Graft operator (BASELINE.json north_star): for each query point, candidates
+come from the grid-disk of cells within Chebyshev radius ``ring`` around the
+query's cell — the Spark analogue of H3 ``grid_disk`` — then an exact
+haversine top-k per query.  This reuses the co-partitioned-join pattern of
+the turn expansion (SURVEY.md §2.3 J4): the candidate stage is a plain equi
+join on ``cell``, fully codegen'd.
+
+Completeness contract: results are exact iff the true k-th neighbor lies
+within the disk. ``min_ring_for_radius`` sizes the ring from a distance
+bound; ``knn_join_bruteforce`` is the exact (and oracle-checkable) baseline.
+At scale, run ring-kNN first, detect starved queries (fewer than k results),
+and re-run only those with a larger ring or the brute-force fallback.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from navgraph_osm_spark.cells import cell_from_xy_expr, grid_disk_expr, xy_expr
+from navgraph_osm_spark.functions.geo import EARTH_RADIUS_KM, haversine_expr
+
+
+def min_ring_for_radius(radius_km: float, res: int, lat_deg: float = 0.0) -> int:
+    """Smallest Chebyshev ring guaranteeing coverage of ``radius_km``."""
+    cell_h_km = 180.0 / (1 << res) * (math.pi / 180.0) * EARTH_RADIUS_KM
+    cell_w_km = cell_h_km * 2.0 * max(math.cos(math.radians(lat_deg)), 1e-6)
+    return max(1, math.ceil(radius_km / min(cell_h_km, cell_w_km)))
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    ring: int = 1,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Ring-expansion kNN: (query_id, point_id, dist_km, rank ≤ k).
+
+    Both inputs need (id, lat, lng).  The disk explode is pure column
+    arithmetic; the join is an equi join on cell; top-k is a bounded window.
+    """
+    px, py = xy_expr(F.col("lat"), F.col("lng"), res)
+    pts = points.select(
+        F.col(point_id),
+        F.col("lat").alias("p_lat"),
+        F.col("lng").alias("p_lng"),
+        cell_from_xy_expr(px, py, res).alias("cell"),
+    )
+    qx, qy = xy_expr(F.col("lat"), F.col("lng"), res)
+    qrs = (
+        queries.select(
+            F.col(query_id),
+            F.col("lat").alias("q_lat"),
+            F.col("lng").alias("q_lng"),
+            F.explode(grid_disk_expr(qx, qy, res, ring)).alias("nb"),
+        )
+        .withColumn("cell", cell_from_xy_expr(F.col("nb.x"), F.col("nb.y"), res))
+        .drop("nb")
+    )
+    cand = qrs.join(pts, "cell").withColumn(
+        "dist_km",
+        haversine_expr(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng")),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(point_id).asc())
+    return (
+        cand.dropDuplicates([query_id, point_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "dist_km", "rank")
+    )
+
+
+def knn_join_bruteforce(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact kNN by cross join — the oracle baseline (small query sets only)."""
+    pts = points.select(
+        F.col(point_id), F.col("lat").alias("p_lat"), F.col("lng").alias("p_lng")
+    )
+    qrs = queries.select(
+        F.col(query_id), F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng")
+    )
+    cand = qrs.crossJoin(pts).withColumn(
+        "dist_km",
+        haversine_expr(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng")),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(point_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, point_id, "dist_km", "rank")
+    )

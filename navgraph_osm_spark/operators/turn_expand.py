@@ -1,0 +1,118 @@
+"""Turn expansion: edges → expanded edges (permitted turns), restriction-aware.
+
+Re-expresses the reference's EP3 macro-phase (reference main.cpp:918-1299).
+The reference runs three hand-rolled per-pixel hash joins — interior×interior
+(J4, main.cpp:964-987), border×interior both directions (J5,
+main.cpp:1020-1081), border×border across pixels (J6, main.cpp:1141-1285) —
+plus restriction logic (J7-J9) and a U-turn filter (F6, invert.hpp:94-99).
+
+Here all of J4-J6 collapse into ONE equi join keyed by the **via node's
+cell + node id**: the turn a→b exists at the node where a ends and b starts;
+keying a by (tgt_cell, tgt_node) and b by (src_cell, src_node) finds every
+adjacent pair exactly once — interior, cross-border, or border-border — with
+no row duplication at all (strictly less data motion than the reference's
+dual-pixel border replication, main.cpp:621-708).
+
+Restriction tables are tiny relative to edges (reference buffer constants:
+235,930 restrictions vs 57.6M way-nodes, disk/utils.hpp:17-19) → broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# restriction type codes (reference worker.hpp:287-302): 0-2 = no_*, 3-5 = only_*
+NO_TYPES = (0, 1, 2)
+ONLY_TYPES = (3, 4, 5)
+
+
+def split_restrictions(restrictions: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F4 validity filter + J7 semi join + the reference's two keyed maps.
+
+    Returns (no_rest keyed (from_way, to_way) — reference processing.cpp:6-18,
+    only_agg keyed (from_way, via_node) with the conflict pre-agg for the
+    all-equal-`to` rule — reference invert.hpp:32-48, main.cpp:829-903).
+    """
+    valid = restrictions.filter(F.col("type") >= 0)
+    no_rest = (
+        valid.filter(F.col("type").isin(*NO_TYPES))
+        .select("from_way", "to_way")
+        .distinct()
+    )
+    emitted_ways = edges.select(F.col("way_id")).distinct()
+    only_rest = (
+        valid.filter(F.col("type").isin(*ONLY_TYPES))
+        .join(emitted_ways, valid["to_way"] == emitted_ways["way_id"], "left_semi")
+    )  # J7: drop only_* whose to-way produced no edges (main.cpp:846-864)
+    only_agg = only_rest.groupBy("from_way", "via_node").agg(
+        F.countDistinct("to_way").alias("n_to"),
+        F.min("to_way").alias("only_to_way"),
+    )
+    return no_rest, only_agg
+
+
+def expand_turns(edges: DataFrame, restrictions: DataFrame) -> DataFrame:
+    """J4-J9 + F6 → expanded-edge DataFrame.
+
+    Output: exp_edge_id, src_edge_id, tgt_edge_id, from_way, to_way,
+    via_node, via_cell, cost = (src.cost + tgt.cost) / 2
+    (reference invert.hpp:108-113).
+    """
+    a = edges.select(
+        F.col("edge_id").alias("src_edge_id"),
+        F.col("way_id").alias("from_way"),
+        F.col("cost").alias("src_cost"),
+        F.col("tgt_node").alias("via_node"),
+        F.col("tgt_cell").alias("via_cell"),
+        F.col("src_lat").alias("a_src_lat"),
+        F.col("src_lng").alias("a_src_lng"),
+        F.col("tgt_lat").alias("a_tgt_lat"),
+        F.col("tgt_lng").alias("a_tgt_lng"),
+    )
+    b = edges.select(
+        F.col("edge_id").alias("tgt_edge_id"),
+        F.col("way_id").alias("to_way"),
+        F.col("cost").alias("tgt_cost"),
+        F.col("src_node").alias("via_node"),
+        F.col("src_cell").alias("via_cell"),
+        F.col("src_lat").alias("b_src_lat"),
+        F.col("src_lng").alias("b_src_lng"),
+        F.col("tgt_lat").alias("b_tgt_lat"),
+        F.col("tgt_lng").alias("b_tgt_lng"),
+    )
+    turns = a.join(b, ["via_cell", "via_node"])  # J4+J5+J6 in one co-partitioned join
+
+    # F6 U-turn: target edge is the exact geometric reversal of the source
+    # (4-way coordinate equality, reference invert.hpp:94-99).
+    uturn = (
+        (F.col("a_src_lat") == F.col("b_tgt_lat"))
+        & (F.col("a_src_lng") == F.col("b_tgt_lng"))
+        & (F.col("a_tgt_lat") == F.col("b_src_lat"))
+        & (F.col("a_tgt_lng") == F.col("b_src_lng"))
+    )
+    turns = turns.filter(~uturn)
+
+    no_rest, only_agg = split_restrictions(restrictions, edges)
+
+    # J8: only_* — if a restriction matches (from_way, via_node), keep only the
+    # turn onto its to-way; conflicting restrictions (distinct to-ways) kill
+    # every turn at that key (reference invert.hpp:27-84).
+    turns = turns.join(F.broadcast(only_agg), ["from_way", "via_node"], "left").filter(
+        F.col("n_to").isNull()
+        | ((F.col("n_to") == 1) & (F.col("to_way") == F.col("only_to_way")))
+    )
+
+    # J9: no_* anti join on (from_way, to_way) (reference invert.hpp:101-106).
+    turns = turns.join(F.broadcast(no_rest), ["from_way", "to_way"], "left_anti")
+
+    return turns.select(
+        F.xxhash64("src_edge_id", "tgt_edge_id").alias("exp_edge_id"),
+        "src_edge_id",
+        "tgt_edge_id",
+        "from_way",
+        "to_way",
+        "via_node",
+        "via_cell",
+        ((F.col("src_cost") + F.col("tgt_cost")) / 2.0).alias("cost"),
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's standard configs.
+
+Local mode stands in for a multi-executor cluster; configs are chosen so the
+same code runs unchanged under ``spark-submit --py-files`` on a real cluster
+(AQE on, Arrow on, skew-join on). ``parallelism`` controls ``local[N]`` and
+``spark.sql.shuffle.partitions`` together so scaling-efficiency runs
+(BASELINE.json north_rule: N vs 4N) compare like for like.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS_PER_CORE = 1
+
+
+def get_spark(
+    app_name: str = "navgraph_osm_spark",
+    parallelism: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``parallelism=None`` uses ``local[*]``; otherwise ``local[N]``.
+    On a real cluster the ``master`` is supplied by spark-submit and this
+    function only applies the SQL configs.
+    """
+    cores = parallelism or os.cpu_count() or 8
+    master = f"local[{parallelism}]" if parallelism else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(max(8, cores * DEFAULT_SHUFFLE_PARTITIONS_PER_CORE)))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

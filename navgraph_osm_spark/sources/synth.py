@@ -1,0 +1,288 @@
+"""Deterministic synthetic data generators (seeded, partition-independent).
+
+Every random field is a pure function of ``(seed, row_id)`` via splitmix64,
+so generation is reproducible regardless of Spark partitioning / parallelism
+— the property the driver's two-parallelism scaling runs rely on.
+
+Tables:
+
+- ``images``      — the graft input (BASELINE.json input_hint schema):
+  ``image_id, bytes, w, h, fmt, caption, phash`` + geo columns
+  ``lat, lng`` and ``footprint: array<struct<lat,lng>>``.
+  Spatial distribution = dense "city core" clusters + uniform background,
+  mirroring OSM's dense node clusters (skew exercise per north_star).
+- OSM-like fixtures — ``nodes / ways / way_nodes / restrictions``
+  (schemas per FIXTURES.md §2, mirroring reference include/types/*.hpp):
+  a jittered road grid whose crossings give deterministic, hand-checkable
+  intersection splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from navgraph_osm_spark.sources.codec import decode_image, encode_image, phash64
+
+# ---------------------------------------------------------------------------
+# splitmix64 — the standard public-domain mixer, vectorized
+# ---------------------------------------------------------------------------
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
+    """Uniform [0,1) derived from (seed, stream, id)."""
+    h = splitmix64(np.asarray(ids, dtype=np.uint64) ^ splitmix64(np.asarray([seed * 1315423911 + stream], dtype=np.uint64))[0])
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+# ---------------------------------------------------------------------------
+# images table
+# ---------------------------------------------------------------------------
+
+_CITY_CORES = [  # (lat, lng, weight) — a few dense clusters for skew
+    (48.8566, 2.3522, 0.30),
+    (40.7128, -74.0060, 0.25),
+    (35.6762, 139.6503, 0.15),
+]
+_CLUSTER_SIGMA = 0.05  # degrees
+_VOCAB = (
+    "street market bridge tower river park square station museum harbor "
+    "sunset crowd tram bicycle fountain cathedral alley rooftop skyline café"
+).split()
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lng", T.DoubleType(), False),
+        T.StructField(
+            "footprint",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("lat", T.DoubleType(), False),
+                        T.StructField("lng", T.DoubleType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Vectorized scalar fields (everything except bytes/phash) per id."""
+    ids = np.asarray(ids, dtype=np.int64)
+    u_cluster = _u01(ids, seed, 1)
+    lat = np.empty(ids.shape)
+    lng = np.empty(ids.shape)
+    # cluster assignment: cumulative weights; remainder uniform
+    acc = 0.0
+    assigned = np.zeros(ids.shape, dtype=bool)
+    for clat, clng, wgt in _CITY_CORES:
+        sel = (~assigned) & (u_cluster >= acc) & (u_cluster < acc + wgt)
+        g1 = _u01(ids, seed, 2)
+        g2 = _u01(ids, seed, 3)
+        # Box–Muller from two uniforms (avoid 0)
+        r = np.sqrt(-2.0 * np.log(np.maximum(g1, 1e-12))) * _CLUSTER_SIGMA
+        lat[sel] = clat + (r * np.cos(2 * np.pi * g2))[sel]
+        lng[sel] = clng + (r * np.sin(2 * np.pi * g2))[sel]
+        assigned |= sel
+        acc += wgt
+    rest = ~assigned
+    lat[rest] = (_u01(ids, seed, 4)[rest] * 170.0) - 85.0
+    lng[rest] = (_u01(ids, seed, 5)[rest] * 360.0) - 180.0
+    w = (16 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 7)) % np.uint64(49))).astype(np.int32)
+    h = (16 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 8)) % np.uint64(49))).astype(np.int32)
+    fmt = np.where(_u01(ids, seed, 9) < 0.5, "png", "jpeg")
+    # captions: 3-8 vocab words; deterministic unicode/empty edge cases
+    cap_len = 3 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 10)) % np.uint64(6)).astype(np.int64)
+    captions = []
+    for i, cid in enumerate(ids):
+        if cid % 97 == 0:
+            captions.append("")
+        elif cid % 101 == 0:
+            captions.append("東京 🌉 čaj ñandú")
+        else:
+            idxs = splitmix64(
+                np.arange(cap_len[i], dtype=np.uint64) * np.uint64(2654435761)
+                ^ np.uint64(cid * 31 + seed)
+            ) % np.uint64(len(_VOCAB))
+            captions.append(" ".join(_VOCAB[int(j)] for j in idxs))
+    # footprint: small quad around the point (simulated EXIF/tile metadata)
+    half = 0.001 + _u01(ids, seed, 11) * 0.004
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{int(i):08d}" for i in ids],
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": captions,
+            "lat": lat,
+            "lng": lng,
+            "half": half,
+        }
+    )
+
+
+def _pixels_for(img_id: int, w: int, h: int, seed: int) -> np.ndarray:
+    """Deterministic RGB content: smooth gradient + hash-salted phase."""
+    phase = float(splitmix64(np.asarray([img_id ^ seed], dtype=np.uint64))[0] % np.uint64(997)) / 997.0
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = (np.sin(xx / w * 6.28 + phase * 6.28) * 0.5 + 0.5) * 255
+    g = (np.cos(yy / h * 6.28 + phase * 3.14) * 0.5 + 0.5) * 255
+    b = ((xx + yy) / (w + h) * 255 + phase * 64) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Full image rows (with encoded bytes + phash) for an id batch."""
+    base = image_fields(ids, seed)
+    blobs, hashes, fps = [], [], []
+    for row, img_id in zip(base.itertuples(index=False), ids):
+        arr = _pixels_for(int(img_id), int(row.w), int(row.h), seed)
+        blobs.append(encode_image(arr, row.fmt))
+        # phash of the *decoded* pixels so the lossy roundtrip verifies
+        hashes.append(phash64(decode_image(blobs[-1])))
+        hlf = float(row.half)
+        fps.append(
+            [
+                {"lat": row.lat - hlf, "lng": row.lng - hlf},
+                {"lat": row.lat - hlf, "lng": row.lng + hlf},
+                {"lat": row.lat + hlf, "lng": row.lng + hlf},
+                {"lat": row.lat + hlf, "lng": row.lng - hlf},
+            ]
+        )
+    out = base.drop(columns=["half"])
+    out["bytes"] = blobs
+    out["phash"] = np.array(hashes, dtype=np.int64)
+    out["footprint"] = fps
+    return out[
+        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lng", "footprint"]
+    ]
+
+
+def gen_images(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic image table: spark.range → mapInPandas."""
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_images_pdf(pdf["id"].to_numpy(), seed)
+
+    return rng.mapInPandas(_gen, schema=IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# OSM-like road-grid fixture (nodes / ways / way_nodes / restrictions)
+# ---------------------------------------------------------------------------
+
+HIGHWAY_ALLOWED = [  # reference include/types/way.hpp:8-12 (13-type allowlist)
+    "motorway", "trunk", "primary", "secondary", "tertiary", "unclassified",
+    "residential", "motorway_link", "trunk_link", "primary_link",
+    "secondary_link", "tertiary_link", "living_street",
+]
+
+
+def gen_road_grid(
+    spark: SparkSession,
+    rows: int = 5,
+    cols: int = 5,
+    origin: tuple[float, float] = (48.85, 2.35),
+    step_deg: float = 0.01,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Jittered road grid: ``rows`` horizontal + ``cols`` vertical ways.
+
+    Node ids = ``r * cols + c``; every interior crossing is shared by two
+    ways ⇒ usage count ≥ 2 ⇒ deterministic intersection splits (reference
+    semantics main.cpp:576-578).  Some ways oneway, some non-highway noise
+    ways, plus a small restriction set covering only_*/no_* and a dangling
+    to-way (J7 drop case).
+    """
+    lat0, lng0 = origin
+    node_rows = []
+    for r in range(rows):
+        for c in range(cols):
+            nid = r * cols + c
+            j = float(_u01(np.asarray([nid]), seed, 21)[0]) * 0.001
+            node_rows.append((nid, float(lat0 + r * step_deg + j), float(lng0 + c * step_deg + j / 2)))
+    nodes = spark.createDataFrame(node_rows, "id long, lat double, lng double")
+
+    way_rows, wn_rows = [], []
+    wid = 1000
+    for r in range(rows):  # horizontal ways
+        hw = HIGHWAY_ALLOWED[r % len(HIGHWAY_ALLOWED)]
+        oneway = "yes" if r % 3 == 0 else ("1" if r % 3 == 1 else "no")
+        way_rows.append((wid, hw, oneway))
+        for c in range(cols):
+            wn_rows.append((wid, c, r * cols + c))
+        wid += 1
+    for c in range(cols):  # vertical ways
+        way_rows.append((wid, HIGHWAY_ALLOWED[(c + 5) % len(HIGHWAY_ALLOWED)], "no"))
+        for r in range(rows):
+            wn_rows.append((wid, r, r * cols + c))
+        wid += 1
+    # noise: non-highway way (filtered by F1) + footway
+    way_rows.append((wid, "footway", "no"))
+    wn_rows += [(wid, 0, 0), (wid, 1, 1)]
+    wid += 1
+    way_rows.append((wid, None, None))
+    wn_rows += [(wid, 0, 2), (wid, 1, 3)]
+
+    ways = spark.createDataFrame(way_rows, "id long, highway string, oneway string")
+    way_nodes = spark.createDataFrame(wn_rows, "way_id long, seq int, node_id long")
+
+    # restrictions: types 0-2 = no_*, 3-5 = only_* (reference worker.hpp:287-302)
+    h0, v0 = 1000, 1000 + rows  # first horizontal / vertical way ids
+    restr = [
+        (1, h0 + 2, 2 * cols + 2, v0 + 2, 0),        # no_* at center crossing
+        (2, h0 + 1, 1 * cols + 1, v0 + 1, 3),        # only_* at (1,1)
+        (3, h0 + 1, 1 * cols + 3, v0 + 3, 4),        # only_* elsewhere
+        (4, h0 + 3, 3 * cols + 1, 99999, 5),         # only_* to dangling way (J7 drop)
+        (5, h0 + 4, 4 * cols + 2, v0 + 2, 3),        # only_* conflict pair a
+        (6, h0 + 4, 4 * cols + 2, v0 + 3, 4),        # only_* conflict pair b (different to)
+    ]
+    restrictions = spark.createDataFrame(
+        restr, "id long, from_way long, via_node long, to_way long, type int"
+    )
+    return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes, "restrictions": restrictions}
+
+
+def derived_points_from_part(part: DataFrame) -> DataFrame:
+    """Deterministic lat/lng per p_partkey via modular arithmetic.
+
+    Used by oracle-checked spatial queries: the identical formula is
+    reproducible in ANSI SQL (see __spark_entry__.py), so Spark and DuckDB
+    derive the same points from the driver's tables.
+    """
+    k = F.col("p_partkey").cast("long")
+    lat = ((k * 7919) % 170000) / 1000.0 - 85.0
+    lng = ((k * 104729) % 360000) / 1000.0 - 180.0
+    return part.select(k.alias("point_id"), lat.alias("lat"), lng.alias("lng"))
+
+
+POINTS_FROM_PART_SQL = (
+    "SELECT CAST(p_partkey AS BIGINT) AS point_id, "
+    "((CAST(p_partkey AS BIGINT) * 7919) % 170000) / 1000.0 - 85.0 AS lat, "
+    "((CAST(p_partkey AS BIGINT) * 104729) % 360000) / 1000.0 - 180.0 AS lng "
+    "FROM part"
+)

@@ -1,0 +1,127 @@
+"""Turn expansion vs a pure-Python oracle, incl. restriction scenarios.
+
+The oracle enumerates adjacent edge pairs (a.tgt == b.src), drops exact
+geometric U-turns, applies only_*/no_* rules — independently of Spark.
+Covers SURVEY.md §2.3 J4-J9 and F6, and the only_* conflict rule
+(reference invert.hpp:32-48).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from navgraph_osm_spark.operators.graph_build import build_edges
+from navgraph_osm_spark.operators.turn_expand import expand_turns, split_restrictions
+from navgraph_osm_spark.sources.synth import gen_road_grid
+
+ROWS, COLS = 5, 5
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return gen_road_grid(spark, rows=ROWS, cols=COLS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def edges(spark, grid):
+    df = build_edges(grid["nodes"], grid["ways"], grid["way_nodes"], res=12)
+    df.cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def turns(edges, grid):
+    df = expand_turns(edges, grid["restrictions"])
+    df.cache()
+    df.count()
+    return df
+
+
+def _oracle(edge_rows, restr_rows):
+    by_src = {}
+    for e in edge_rows:
+        by_src.setdefault(e["src_node"], []).append(e)
+    emitted_ways = {e["way_id"] for e in edge_rows}
+    no_pairs = {(r["from_way"], r["to_way"]) for r in restr_rows if 0 <= r["type"] <= 2}
+    only = {}
+    for r in restr_rows:
+        if 3 <= r["type"] <= 5 and r["to_way"] in emitted_ways:
+            only.setdefault((r["from_way"], r["via_node"]), set()).add(r["to_way"])
+    out = set()
+    for a in edge_rows:
+        for b in by_src.get(a["tgt_node"], []):
+            # U-turn: exact coordinate reversal
+            if (
+                a["src_lat"] == b["tgt_lat"]
+                and a["src_lng"] == b["tgt_lng"]
+                and a["tgt_lat"] == b["src_lat"]
+                and a["tgt_lng"] == b["src_lng"]
+            ):
+                continue
+            key = (a["way_id"], a["tgt_node"])
+            if key in only:
+                tos = only[key]
+                if len(tos) > 1 or b["way_id"] not in tos:
+                    continue
+            if (a["way_id"], b["way_id"]) in no_pairs:
+                continue
+            out.add((a["edge_id"], b["edge_id"]))
+    return out
+
+
+def test_turns_match_oracle(turns, edges, grid):
+    got = {(r["src_edge_id"], r["tgt_edge_id"]) for r in turns.collect()}
+    want = _oracle(edges.collect(), grid["restrictions"].collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_turn_costs(turns, edges):
+    costs = {r["edge_id"]: r["cost"] for r in edges.collect()}
+    for t in turns.collect():
+        assert abs(t["cost"] - (costs[t["src_edge_id"]] + costs[t["tgt_edge_id"]]) / 2) < 1e-12
+
+
+def test_only_conflict_kills_all(turns, edges, grid):
+    """Restrictions 5+6 share (from_way, via_node) with different to-ways →
+    NO turn from way 1004 at node (4,2) may survive (invert.hpp:32-48)."""
+    h4 = 1000 + 4
+    via = 4 * COLS + 2
+    bad = turns.filter((F.col("from_way") == h4) & (F.col("via_node") == via)).count()
+    assert bad == 0
+
+
+def test_only_restriction_enforced(turns):
+    """Restriction 2: from way 1001 via node (1,1) only onto vertical way v1."""
+    v1 = 1000 + ROWS + 1
+    via = 1 * COLS + 1
+    tos = {
+        r["to_way"]
+        for r in turns.filter(
+            (F.col("from_way") == 1001) & (F.col("via_node") == via)
+        ).collect()
+    }
+    assert tos == {v1}
+
+
+def test_no_restriction_enforced(turns):
+    """Restriction 1: no turn from way 1002 onto vertical way v2."""
+    v2 = 1000 + ROWS + 2
+    assert (
+        turns.filter((F.col("from_way") == 1002) & (F.col("to_way") == v2)).count() == 0
+    )
+
+
+def test_dangling_only_dropped(edges, grid):
+    """Restriction 4 points to way 99999 (no edges) → J7 semi join drops it,
+    so turns from way 1003 at its via node are NOT restricted."""
+    no_rest, only_agg = split_restrictions(grid["restrictions"], edges)
+    keys = {(r["from_way"], r["via_node"]) for r in only_agg.collect()}
+    assert (1003, 3 * COLS + 1) not in keys
+
+
+def test_exp_edge_ids_unique(turns):
+    n = turns.count()
+    assert turns.select("exp_edge_id").distinct().count() == n
