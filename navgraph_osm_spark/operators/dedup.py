@@ -1,0 +1,269 @@
+"""Deduplication family over the ``documents`` table (graft additions).
+
+Five strategies, each scale-shaped for 100 TB (blocking before pairing —
+never a global cross join):
+
+- exact        — md5 fingerprint groupBy (one shuffle, map-side partial agg)
+- ngram-jaccard— exact char-3-gram Jaccard via array higher-order functions
+                 (JVM-side), pairs blocked by a cheap key
+- MinHash+LSH  — Arrow-batched signature UDF → band explode → bucket
+                 self-join → signature-similarity filter (classic
+                 shingle→minhash→band→bucket-join)
+- SimHash      — Arrow-batched 64-bit SimHash → 16-bit band blocking →
+                 xor+bit_count Hamming verify (pure column expressions)
+- embedding    — cosine near-dup via sign-LSH bucketing + exact cosine verify
+
+All candidate joins are equi joins on block keys → AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from navgraph_osm_spark.functions.hashing import minhash_signatures_batch, simhash64
+from navgraph_osm_spark.functions.text import fingerprint_expr
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) docs, size ≥ 2.
+
+    Output: fingerprint, n_dups, doc_ids (sorted array), keeper (min id).
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def _shingle_array_expr(text: F.Column, n: int = 3) -> F.Column:
+    """Distinct char n-grams of whitespace-normalized text, pure exprs."""
+    t = F.regexp_replace(F.trim(text), r"\s+", " ")
+    short = F.length(t) < n
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.when(short, F.array(t)).otherwise(F.array_distinct(grams))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    block_col: str | None = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked pairs (id_a < id_b).
+
+    Jaccard is |A∩B| / |A∪B| on distinct char n-grams — array_intersect /
+    array_union, fully JVM-side.  Blocking (default: same ``lang``) bounds
+    the pair count; at scale swap in a MinHash band as the block key.
+    """
+    base = docs.select(
+        F.col(id_col), F.col(block_col).alias("block") if block_col else F.lit(1).alias("block"),
+        _shingle_array_expr(F.col(text_col), n).alias("grams"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), "block", F.col("grams").alias("grams_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), "block", F.col("grams").alias("grams_b")
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    jac = (
+        F.size(F.array_intersect("grams_a", "grams_b"))
+        / F.size(F.array_union("grams_a", "grams_b"))
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIG_FIELD = "minhash_sig"
+
+
+def with_minhash(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach MinHash signatures (Arrow-batched pandas UDF, vectorized numpy)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        return pd.Series(minhash_signatures_batch(texts, num_hashes, n, seed))
+
+    return docs.withColumn(_SIG_FIELD, _sig(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with estimated Jaccard ≥ threshold.
+
+    Pipeline: signature UDF → band explode (band hash = xxhash64 of the band
+    slice) → bucket self-join → distinct pairs → signature-agreement
+    estimate filter.  Only the signature computation touches Python.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = with_minhash(docs, num_hashes, seed=seed, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col(_SIG_FIELD)
+    )
+    banded = sigs.select(
+        id_col,
+        _SIG_FIELD,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col(_SIG_FIELD), bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, _SIG_FIELD, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(_SIG_FIELD).alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(_SIG_FIELD).alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", est.cast("double"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band blocking + bit_count verify.
+
+    Any pair within Hamming distance ≤ 3 shares at least one of the four
+    16-bit bands (pigeonhole); larger ``max_hamming`` trades recall.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash64(texts))
+
+    hashed = docs.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+        )
+        for bi in range(4)
+    ]
+    banded = hashed.select(
+        id_col, "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup via sign-LSH blocking + exact cosine verify.
+
+    Bucket = sign bits against ``planes`` random hyperplanes (deterministic
+    seed), computed with ``aggregate`` over the embedding array — JVM-side.
+    Multi-probe (flip one bit) keeps recall high for near-identical vectors.
+    """
+    import numpy as np
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    hyper = rng.normal(size=(planes, dim))
+
+    def _dot_plane(vec, plane: list[float]):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+
+    sign_bits = None
+    for i in range(planes):
+        bit = (_dot_plane(F.col(vec_col), hyper[i].tolist()) >= 0).cast("long")
+        sign_bits = bit if sign_bits is None else sign_bits * 2 + bit
+
+    base = emb.select(F.col(id_col), F.col(vec_col), sign_bits.alias("bucket0"))
+    # multi-probe: own bucket + each 1-bit flip
+    probes = F.array(
+        F.col("bucket0"),
+        *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
+    )
+    probed = base.withColumn("bucket", F.explode(probes))
+
+    a = probed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("bucket0").alias("bucket"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))  # noqa: E731
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", (dot / (norm(F.col("v_a")) * norm(F.col("v_b")))).cast("double"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,95 @@
+"""Image table: codec invariants (PSNR, caption byte-equality, phash),
+Arrow plumbing (decode/resize via mapInPandas), generator determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from navgraph_osm_spark.sources import codec, synth
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synth.gen_images(spark, N, seed=42, partitions=4)
+    df.cache()
+    df.count()
+    return df
+
+
+def test_schema_matches_input_hint(images):
+    cols = dict(images.dtypes)
+    assert cols["image_id"] == "string"
+    assert cols["bytes"] == "binary"
+    assert cols["w"] == "int" and cols["h"] == "int"
+    assert cols["fmt"] == "string"
+    assert cols["caption"] == "string"
+    assert cols["phash"] == "bigint"
+
+
+def test_decode_roundtrip_invariants(images):
+    rows = images.collect()
+    assert len(rows) == N
+    for r in rows[:40]:
+        arr = codec.decode_image(bytes(r["bytes"]))
+        assert arr.shape == (r["h"], r["w"], 3)
+        orig = synth._pixels_for(int(r["image_id"][3:]), r["w"], r["h"], 42)
+        p = codec.psnr(orig, arr)
+        if r["fmt"] == "png":
+            assert p == float("inf")
+        else:
+            assert p >= 40.0, (r["image_id"], p)
+        assert codec.phash64(arr) == r["phash"]
+
+
+def test_caption_byte_equality_and_edge_cases(images):
+    rows = {r["image_id"]: r["caption"] for r in images.collect()}
+    regen = synth.gen_images_pdf(np.arange(N), seed=42)
+    for img_id, cap in zip(regen["image_id"], regen["caption"]):
+        assert rows[img_id].encode() == cap.encode()
+    assert rows["img00000000"] == ""            # 0 % 97 == 0 → empty
+    assert "東京" in rows["img00000101"]          # unicode case
+
+
+def test_generator_partition_independence(spark):
+    a = synth.gen_images(spark, 50, seed=42, partitions=1).orderBy("image_id").collect()
+    b = synth.gen_images(spark, 50, seed=42, partitions=7).orderBy("image_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["image_id"] == rb["image_id"]
+        assert bytes(ra["bytes"]) == bytes(rb["bytes"])
+        assert ra["caption"] == rb["caption"] and ra["phash"] == rb["phash"]
+        assert ra["lat"] == rb["lat"] and ra["lng"] == rb["lng"]
+
+
+def test_decode_stats_operator(images):
+    stats = images.mapInPandas(
+        codec.decode_stats_batches, schema=codec.DECODE_STATS_SCHEMA
+    ).toPandas()
+    assert len(stats) == N
+    assert stats["phash_ok"].all()
+    assert (stats[["mean_r", "mean_g", "mean_b"]].to_numpy() >= 0).all()
+    assert (stats[["mean_r", "mean_g", "mean_b"]].to_numpy() <= 255).all()
+
+
+def test_resize_operator(images):
+    thumbs = images.mapInPandas(codec.resize_batches(8), schema=codec.RESIZE_SCHEMA).toPandas()
+    assert len(thumbs) == N
+    for _, row in thumbs.head(10).iterrows():
+        arr = np.frombuffer(row["thumb"], dtype=np.uint8).reshape(8, 8, 3)
+        assert arr.min() >= 0 and arr.max() <= 255
+
+
+def test_skewed_distribution(images):
+    # city cores: a nontrivial share of images within 1 degree of Paris core
+    near_paris = images.filter(
+        (F.abs(F.col("lat") - 48.8566) < 1.0) & (F.abs(F.col("lng") - 2.3522) < 1.0)
+    ).count()
+    assert near_paris > N * 0.15
+
+
+def test_external_decoder_stub():
+    with pytest.raises(NotImplementedError):
+        codec.external_decoder_stub(b"xx", "jpeg")

@@ -1,0 +1,53 @@
+"""ANN similarity search: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from navgraph_osm_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # clustered vectors (the realistic ANN regime): 15 centroids + noise
+    rng = np.random.default_rng(13)
+    centroids = rng.normal(size=(15, DIM)) * 3.0
+    assign = rng.integers(0, 15, size=300)
+    vecs = centroids[assign] + rng.normal(size=(300, DIM)) * 0.4
+    rows = [(i, vecs[i].tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, vecs
+
+
+def test_bruteforce_matches_numpy(emb):
+    df, vecs = emb
+    queries = df.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk_bruteforce(df, queries, k=5).toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid, grp in got.groupby("query_id"):
+        cos = vecs @ vecs[qid] / (norms * norms[qid])
+        order = np.lexsort((np.arange(300), -cos))[:5]
+        assert grp.sort_values("rank")["vec_id"].tolist() == order.tolist()
+        np.testing.assert_allclose(
+            np.sort(grp["cosine"].to_numpy())[::-1], np.sort(cos[order])[::-1], rtol=1e-9
+        )
+
+
+def test_lsh_recall_at_10(emb):
+    df, vecs = emb
+    queries = df.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_bruteforce(df, queries, k=10).toPandas()
+    approx = cosine_topk_lsh(df, queries, k=10, dim=DIM, planes=8, probe_bits=2).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, np.mean(recalls)
+    # self-match is always rank 1 (query is in corpus)
+    top1 = approx[approx["rank"] == 1]
+    assert (top1["query_id"] == top1["vec_id"]).all()
