@@ -54,8 +54,13 @@ def _kept_way_nodes(ways: DataFrame, way_nodes: DataFrame) -> DataFrame:
     kept = filter_ways(ways)
     wn = way_nodes.join(kept, "way_id")
     w_span = Window.partitionBy("way_id")
-    return wn.withColumn("max_seq", F.max("seq").over(w_span)).withColumn(
-        "is_endpoint", (F.col("seq") == 0) | (F.col("seq") == F.col("max_seq"))
+    return (
+        wn.withColumn("min_seq", F.min("seq").over(w_span))
+        .withColumn("max_seq", F.max("seq").over(w_span))
+        .withColumn(
+            "is_endpoint",
+            (F.col("seq") == F.col("min_seq")) | (F.col("seq") == F.col("max_seq")),
+        )
     )
 
 
@@ -74,7 +79,7 @@ def build_edges(
         F.col("id").alias("node_id"), "lat", "lng", "used"
     )  # J1
 
-    occ = wn.select("way_id", "seq", "node_id", "oneway", "max_seq").join(
+    occ = wn.select("way_id", "seq", "node_id", "oneway", "min_seq", "max_seq").join(
         nodes_kept, "node_id"
     )
 
@@ -96,7 +101,7 @@ def build_edges(
         split,
         F.filter(
             F.array(
-                F.when(F.col("seq") > 0, F.col("cut_before") - 1),
+                F.when(F.col("seq") > F.col("min_seq"), F.col("cut_before") - 1),
                 F.when(F.col("seq") < F.col("max_seq"), F.col("cut_before")),
             ),
             lambda x: x.isNotNull(),

@@ -108,6 +108,33 @@ def _refine_kernel(id_cols: list[str]):
     return _kernel
 
 
+def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
+    """Refinement with the polygon table shipped once per executor (broadcast)
+    instead of per candidate row — the polygon side is a dim table (the
+    reference's restriction-broadcast pattern, SURVEY.md §2.3 J8/J9)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        polys = poly_bc.value
+        pid_col = id_cols[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[id_cols]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, idx in pdf.groupby(pid_col, sort=False).groups.items():
+                fp_lat, fp_lng = polys[pid]
+                rows = pdf.loc[idx]
+                keep[pdf.index.get_indexer(idx)] = points_in_polygon_np(
+                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(), fp_lat, fp_lng
+                )
+            yield pdf.loc[keep, id_cols]
+
+    return _kernel
+
+
+BROADCAST_POLY_LIMIT = 200_000
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -118,26 +145,63 @@ def point_in_polygon_join(
     lng: str = "lng",
     fp: str = "footprint",
     exact: bool = True,
+    broadcast_polys: bool | None = None,
 ) -> DataFrame:
     """Points ⋈ polygons containment join.
 
     Candidates: equi join on cell (point cell vs polygon covering cells);
     refinement: exact ray casting in mapInPandas (skippable for bbox-only
     semantics with ``exact=False``).
+
+    When the polygon side is dim-sized (≤ ``BROADCAST_POLY_LIMIT`` rows, the
+    common raster↔vector case), its vertices are broadcast to the refinement
+    kernel so candidate rows carry only ids + the point coordinates — arrays
+    never cross Arrow per row.  Set ``broadcast_polys=False`` to force the
+    carry-along path (arbitrarily large polygon tables).
     """
+    sc = points.sparkSession.sparkContext
     pts = assign_cells(points.select(point_id, lat, lng), res, lat, lng)
     polys = covering_cells(polygons.select(poly_id, fp), res, fp)
-    cand = pts.join(polys, "cell").select(
-        point_id,
-        poly_id,
+    if broadcast_polys is None:
+        broadcast_polys = polygons.count() <= BROADCAST_POLY_LIMIT
+
+    base_cols = [
+        F.col(point_id),
+        F.col(poly_id),
         F.col(lat).alias("__plat"),
         F.col(lng).alias("__plng"),
-        F.transform(F.col(fp), lambda p: p["lat"]).alias("__fp_lat"),
-        F.transform(F.col(fp), lambda p: p["lng"]).alias("__fp_lng"),
-    )
+    ]
+    if not broadcast_polys:
+        base_cols += [
+            F.transform(F.col(fp), lambda p: p["lat"]).alias("__fp_lat"),
+            F.transform(F.col(fp), lambda p: p["lng"]).alias("__fp_lng"),
+        ]
+    cand = pts.join(polys, "cell").select(*base_cols)
     if not exact:
         return cand.select(point_id, poly_id).distinct()
+    # candidate pairs inherit the cell join's skew (dense city-core cells →
+    # one fat partition → serial python tail); refinement is row-independent,
+    # so rebalance before the python stage (north_rule skew handling — the
+    # join itself is covered by AQE skew splitting).  Partitioning by
+    # (poly_id, salt) keeps each Arrow batch dense in few polygons (the
+    # kernel vectorizes per polygon) while the salt caps per-polygon skew.
+    cand = cand.repartition(
+        sc.defaultParallelism * 2,
+        F.col(poly_id),
+        F.pmod(F.xxhash64(point_id), F.lit(16)),
+    )
     dtypes = dict(cand.dtypes)
     out_schema = f"{point_id} {dtypes[point_id]}, {poly_id} {dtypes[poly_id]}"
-    refined = cand.mapInPandas(_refine_kernel([point_id, poly_id]), schema=out_schema)
+    if broadcast_polys:
+        poly_map = {
+            r[poly_id]: (
+                np.array([p["lat"] for p in r[fp]], dtype=np.float64),
+                np.array([p["lng"] for p in r[fp]], dtype=np.float64),
+            )
+            for r in polygons.select(poly_id, fp).collect()
+        }
+        kernel = _refine_kernel_broadcast([point_id, poly_id], sc.broadcast(poly_map))
+    else:
+        kernel = _refine_kernel([point_id, poly_id])
+    refined = cand.mapInPandas(kernel, schema=out_schema)
     return refined.distinct()

@@ -1,0 +1,802 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry exercises one (or a composition) of the engine's operators from
+SURVEY.md §2 over the driver-generated tables at ``sf_dir``.  The oracle SQL
+computes the identical result in ANSI SQL so the driver's DuckDB comparison
+(row count + schema + order-insensitive value hash) passes.
+
+Conventions (driver contract):
+- every computed column aliased identically in Spark and SQL;
+- float outputs rounded to 6 decimals on both sides (trig/libm last-ulp
+  differences disappear at 6 dp);
+- no timestamp outputs (epoch seconds instead — timezone-proof);
+- deterministic tie-breaks on every rank/top-k.
+
+Derived geo tables: since the driver tables have no coordinates, points and
+boxes are derived from keys by *integer* modular arithmetic (exactly
+reproducible in SQL) — points from ``part``, boxes from ``supplier``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from navgraph_osm_spark.cells import cell_xy_expr, cell_xy_sql, xy_expr
+from navgraph_osm_spark.functions import text as X
+from navgraph_osm_spark.functions.geo import haversine_expr, haversine_sql
+from navgraph_osm_spark.operators import dedup, graph_build, knn as knn_ops, similarity, turn_expand
+from navgraph_osm_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# derived geo tables (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    return part.select(
+        k.alias("point_id"),
+        (((k * 7919) % 170000) / 1000.0 - 85.0).alias("lat"),
+        (((k * 104729) % 360000) / 1000.0 - 180.0).alias("lng"),
+    )
+
+
+POINTS_SQL = (
+    "SELECT CAST(p_partkey AS BIGINT) AS point_id, "
+    "((CAST(p_partkey AS BIGINT) * 7919) % 170000) / 1000.0 - 85.0 AS lat, "
+    "((CAST(p_partkey AS BIGINT) * 104729) % 360000) / 1000.0 - 180.0 AS lng FROM part"
+)
+
+
+def boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    clat = ((k * 104729) % 150000) / 1000.0 - 75.0 + 0.0005
+    clng = ((k * 7919) % 340000) / 1000.0 - 170.0 + 0.0005
+    half_lat = 2.0 + (k % 7).cast("double") * 0.5
+    half_lng = 3.0 + (k % 5).cast("double") * 1.0
+    return sup.select(
+        k.alias("box_id"),
+        (clat - half_lat).alias("lat0"),
+        (clat + half_lat).alias("lat1"),
+        (clng - half_lng).alias("lng0"),
+        (clng + half_lng).alias("lng1"),
+    )
+
+
+BOXES_SQL = (
+    "SELECT CAST(s_suppkey AS BIGINT) AS box_id, "
+    "(((CAST(s_suppkey AS BIGINT) * 104729) % 150000) / 1000.0 - 75.0 + 0.0005) - (2.0 + (CAST(s_suppkey AS BIGINT) % 7) * 0.5) AS lat0, "
+    "(((CAST(s_suppkey AS BIGINT) * 104729) % 150000) / 1000.0 - 75.0 + 0.0005) + (2.0 + (CAST(s_suppkey AS BIGINT) % 7) * 0.5) AS lat1, "
+    "(((CAST(s_suppkey AS BIGINT) * 7919) % 340000) / 1000.0 - 170.0 + 0.0005) - (3.0 + (CAST(s_suppkey AS BIGINT) % 5) * 1.0) AS lng0, "
+    "(((CAST(s_suppkey AS BIGINT) * 7919) % 340000) / 1000.0 - 170.0 + 0.0005) + (3.0 + (CAST(s_suppkey AS BIGINT) % 5) * 1.0) AS lng1 "
+    "FROM supplier"
+)
+
+
+def boxes_as_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = boxes_df(spark, sf_dir)
+    fp = F.array(
+        F.struct(F.col("lat0").alias("lat"), F.col("lng0").alias("lng")),
+        F.struct(F.col("lat0").alias("lat"), F.col("lng1").alias("lng")),
+        F.struct(F.col("lat1").alias("lat"), F.col("lng1").alias("lng")),
+        F.struct(F.col("lat1").alias("lat"), F.col("lng0").alias("lng")),
+    )
+    return b.select("box_id", fp.alias("footprint"))
+
+
+def graph_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """OSM-shaped tables derived from lineitem/part (see module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_linenumber is not unique per order in this generator → derive a
+    # strictly ordered seq (row_number) identically in Spark and the oracle
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    way_nodes = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.row_number().over(w).alias("seq"),
+        F.col("l_partkey").alias("node_id"),
+    )
+    ways = (
+        way_nodes.select("way_id")
+        .distinct()
+        .select(
+            F.col("way_id").alias("id"),
+            F.lit("residential").alias("highway"),
+            F.when(F.col("way_id") % 3 == 0, "yes").otherwise("no").alias("oneway"),
+        )
+    )
+    nodes = points_df(spark, sf_dir).select(
+        F.col("point_id").alias("id"), "lat", "lng"
+    )
+    return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes}
+
+
+GRAPH_WN_SQL = (
+    "SELECT CAST(l_orderkey AS BIGINT) AS way_id, "
+    "CAST(row_number() OVER (PARTITION BY l_orderkey "
+    "ORDER BY l_linenumber, l_partkey) AS INT) AS seq, "
+    "CAST(l_partkey AS BIGINT) AS node_id FROM lineitem"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------- relational core -------------------------------
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "q3_join_agg",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q3(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000)
+    """,
+)
+def semi_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+
+
+@_register(
+    "anti_join_customers",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 250000)",
+)
+def anti_join(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@_register(
+    "rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty")
+    )
+
+
+@_register(
+    "pivot_orderstatus",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_orderstatus(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+
+
+# --------------------------- events / windows ------------------------------
+
+@_register(
+    "ev_hourly_agg",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@_register(
+    "ev_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ev_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# --------------------------- graph build ops -------------------------------
+
+@_register(
+    "gb_usage_counts",
+    f"""
+    WITH wn AS ({GRAPH_WN_SQL}),
+    ext AS (SELECT *, min(seq) OVER (PARTITION BY way_id) AS mn,
+                   max(seq) OVER (PARTITION BY way_id) AS mx FROM wn)
+    SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
+    FROM ext GROUP BY node_id
+    """,
+)
+def gb_usage(spark, sf_dir):
+    t = graph_tables(spark, sf_dir)
+    wn = graph_build._kept_way_nodes(t["ways"], t["way_nodes"])
+    return graph_build.node_usage(wn)
+
+
+@_register(
+    "gb_segmentation",
+    f"""
+    WITH wn AS ({GRAPH_WN_SQL}),
+    ext AS (SELECT *, min(seq) OVER (PARTITION BY way_id) AS mn,
+                   max(seq) OVER (PARTITION BY way_id) AS mx FROM wn),
+    used AS (SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
+             FROM ext GROUP BY node_id)
+    SELECT e.way_id,
+           1 + SUM(CASE WHEN e.seq > e.mn AND e.seq < e.mx AND u.used > 1
+                        THEN 1 ELSE 0 END) AS n_segments
+    FROM ext e JOIN used u ON e.node_id = u.node_id
+    GROUP BY e.way_id HAVING max(e.mx) > min(e.mn)
+    """,
+)
+def gb_segmentation(spark, sf_dir):
+    t = graph_tables(spark, sf_dir)
+    edges = graph_build.build_edges(t["nodes"], t["ways"], t["way_nodes"], res=6)
+    return (
+        edges.filter(F.col("direction") == 0)
+        .groupBy("way_id")
+        .agg(F.countDistinct("seg").alias("n_segments"))
+    )
+
+
+_GB_EDGES_ORACLE = f"""
+    WITH wn AS ({GRAPH_WN_SQL}),
+    pts AS ({POINTS_SQL}),
+    ext AS (SELECT *, min(seq) OVER (PARTITION BY way_id) AS mn,
+                   max(seq) OVER (PARTITION BY way_id) AS mx FROM wn),
+    used AS (SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
+             FROM ext GROUP BY node_id),
+    occ AS (SELECT e.way_id, e.seq, e.node_id, e.mn, e.mx, u.used, p.lat, p.lng
+            FROM ext e JOIN used u ON e.node_id = u.node_id
+            JOIN pts p ON e.node_id = p.point_id),
+    legs AS (SELECT way_id, seq, node_id, lat, lng,
+                    lead(node_id) OVER w AS nxt_node,
+                    lead(lat) OVER w AS nlat, lead(lng) OVER w AS nlng,
+                    SUM(CASE WHEN used > 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING) AS cuts_incl
+             FROM occ WINDOW w AS (PARTITION BY way_id ORDER BY seq))
+    SELECT way_id, CAST(cuts_incl - 1 AS BIGINT) AS seg,
+           arg_min(node_id, seq) AS src_node,
+           arg_max(nxt_node, seq) AS tgt_node,
+           ROUND(SUM({haversine_sql('lat', 'lng', 'nlat', 'nlng')}), 6) AS cost,
+           COUNT(*) + 1 AS n_points
+    FROM legs WHERE nxt_node IS NOT NULL
+    GROUP BY way_id, seg
+"""
+
+
+@_register("gb_edges", _GB_EDGES_ORACLE)
+def gb_edges(spark, sf_dir):
+    t = graph_tables(spark, sf_dir)
+    edges = graph_build.build_edges(t["nodes"], t["ways"], t["way_nodes"], res=6)
+    return edges.filter(F.col("direction") == 0).select(
+        "way_id",
+        "seg",
+        "src_node",
+        "tgt_node",
+        F.round("cost", 6).alias("cost"),
+        F.size("geom").alias("n_points"),
+    )
+
+
+@_register(
+    "gb_edges_with_reverse",
+    f"""
+    WITH base AS ({_GB_EDGES_ORACLE.replace('SELECT way_id,', 'SELECT way_id,').strip()})
+    SELECT way_id, seg, src_node, tgt_node, cost, 0 AS direction FROM base
+    UNION ALL
+    SELECT way_id, seg, tgt_node AS src_node, src_node AS tgt_node, cost, 1 AS direction
+    FROM base WHERE way_id % 3 <> 0
+    """,
+)
+def gb_edges_with_reverse(spark, sf_dir):
+    t = graph_tables(spark, sf_dir)
+    edges = graph_build.build_edges(t["nodes"], t["ways"], t["way_nodes"], res=6)
+    return edges.select(
+        "way_id", "seg", "src_node", "tgt_node",
+        F.round("cost", 6).alias("cost"), "direction",
+    )
+
+
+@_register(
+    "gb_counts",
+    f"""
+    WITH wn AS ({GRAPH_WN_SQL}),
+    ext AS (SELECT *, min(seq) OVER (PARTITION BY way_id) AS mn,
+                   max(seq) OVER (PARTITION BY way_id) AS mx FROM wn),
+    used AS (SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
+             FROM ext GROUP BY node_id),
+    segs AS (SELECT e.way_id,
+               1 + SUM(CASE WHEN e.seq > e.mn AND e.seq < e.mx AND u.used > 1
+                            THEN 1 ELSE 0 END) AS n_segments
+             FROM ext e JOIN used u ON e.node_id = u.node_id
+             GROUP BY e.way_id HAVING max(e.mx) > min(e.mn))
+    SELECT (SELECT COUNT(*) FROM used) AS nodes_kept,
+           (SELECT COUNT(*) FROM segs) AS ways_used,
+           (SELECT SUM(n_segments) FROM segs) AS edges_fwd
+    """,
+)
+def gb_counts(spark, sf_dir):
+    """The reference's Filestat counters (filestat.hpp:7-20) over the derived
+    graph: nodes kept, ways that produced edges, forward edges emitted."""
+    t = graph_tables(spark, sf_dir)
+    edges = graph_build.build_edges(t["nodes"], t["ways"], t["way_nodes"], res=6)
+    fwd = edges.filter(F.col("direction") == 0)
+    return (
+        fwd.agg(
+            F.count("*").alias("edges_fwd"),
+            F.countDistinct("way_id").alias("ways_used"),
+        )
+        .crossJoin(
+            graph_build.node_usage(
+                graph_build._kept_way_nodes(t["ways"], t["way_nodes"])
+            ).agg(F.count("*").alias("nodes_kept"))
+        )
+        .select("nodes_kept", "ways_used", "edges_fwd")
+    )
+
+
+# --------------------------- spatial ops -----------------------------------
+
+_RES_XY = 6  # 64×64 xy grid for SQL-checkable cell ids
+
+
+@_register(
+    "sp_cell_assign",
+    f"WITH pts AS ({POINTS_SQL}) SELECT point_id, "
+    f"{cell_xy_sql('lat', 'lng', _RES_XY)} AS cell FROM pts",
+)
+def sp_cell_assign(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    return pts.select(
+        "point_id", cell_xy_expr(F.col("lat"), F.col("lng"), _RES_XY).alias("cell")
+    )
+
+
+@_register(
+    "sp_cell_histogram",
+    f"WITH pts AS ({POINTS_SQL}) SELECT {cell_xy_sql('lat', 'lng', _RES_XY)} AS cell, "
+    "COUNT(*) AS n_rows FROM pts GROUP BY 1",
+)
+def sp_cell_histogram(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    return pts.groupBy(
+        cell_xy_expr(F.col("lat"), F.col("lng"), _RES_XY).alias("cell")
+    ).agg(F.count("*").alias("n_rows"))
+
+
+@_register(
+    "sp_pip_join",
+    f"""
+    WITH pts AS ({POINTS_SQL}), boxes AS ({BOXES_SQL})
+    SELECT p.point_id, b.box_id FROM pts p JOIN boxes b
+    ON p.lat > b.lat0 AND p.lat < b.lat1 AND p.lng > b.lng0 AND p.lng < b.lng1
+    """,
+)
+def sp_pip_join(spark, sf_dir):
+    from navgraph_osm_spark.operators.spatial_join import point_in_polygon_join
+
+    pts = points_df(spark, sf_dir)
+    polys = boxes_as_polygons(spark, sf_dir)
+    return point_in_polygon_join(
+        pts, polys, res=8, point_id="point_id", poly_id="box_id", exact=True
+    )
+
+
+@_register(
+    "sp_tile_assignment",
+    f"""
+    WITH boxes AS ({BOXES_SQL}),
+    bounds AS (SELECT box_id,
+      GREATEST(0, LEAST({(1 << _RES_XY) - 1}, CAST(FLOOR((lng0 + 180.0) / 360.0 * {1 << _RES_XY}.0) AS BIGINT))) AS x0,
+      GREATEST(0, LEAST({(1 << _RES_XY) - 1}, CAST(FLOOR((lng1 + 180.0) / 360.0 * {1 << _RES_XY}.0) AS BIGINT))) AS x1,
+      GREATEST(0, LEAST({(1 << _RES_XY) - 1}, CAST(FLOOR((90.0 - lat1) / 180.0 * {1 << _RES_XY}.0) AS BIGINT))) AS y0,
+      GREATEST(0, LEAST({(1 << _RES_XY) - 1}, CAST(FLOOR((90.0 - lat0) / 180.0 * {1 << _RES_XY}.0) AS BIGINT))) AS y1
+      FROM boxes),
+    lvl1 AS (SELECT box_id, unnest(generate_series(x0, x1)) AS x, y0, y1 FROM bounds),
+    lvl2 AS (SELECT box_id, x, unnest(generate_series(y0, y1)) AS y FROM lvl1)
+    SELECT box_id, x * {1 << _RES_XY} + y AS cell FROM lvl2
+    """,
+)
+def sp_tile_assignment(spark, sf_dir):
+    b = boxes_df(spark, sf_dir)
+    x0, _yA = xy_expr(F.col("lat1"), F.col("lng0"), _RES_XY)
+    x1, _yB = xy_expr(F.col("lat0"), F.col("lng1"), _RES_XY)
+    _xA, y0 = xy_expr(F.col("lat1"), F.col("lng0"), _RES_XY)
+    _xB, y1 = xy_expr(F.col("lat0"), F.col("lng1"), _RES_XY)
+    return (
+        b.withColumn("x", F.explode(F.sequence(x0, x1)))
+        .withColumn("y", F.explode(F.sequence(y0, y1)))
+        .select("box_id", (F.col("x") * (1 << _RES_XY) + F.col("y")).alias("cell"))
+    )
+
+
+@_register(
+    "sp_knn",
+    f"""
+    WITH pts AS ({POINTS_SQL}),
+    q AS (SELECT point_id AS query_id, lat AS q_lat, lng AS q_lng FROM pts
+          WHERE point_id <= 40),
+    scored AS (
+      SELECT q.query_id, p.point_id,
+             {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} AS d,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} ASC,
+                        p.point_id ASC) AS rank
+      FROM q CROSS JOIN pts p)
+    SELECT query_id, point_id, ROUND(d, 6) AS dist_km, rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sp_knn(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    q = pts.filter(F.col("point_id") <= 40).select(
+        F.col("point_id").alias("query_id"), "lat", "lng"
+    )
+    out = knn_ops.knn_join(pts, q, k=5, res=3, ring=7, point_id="point_id")
+    return out.select(
+        "query_id", "point_id", F.round("dist_km", 6).alias("dist_km"), "rank"
+    )
+
+
+# --------------------------- text / dedup ----------------------------------
+
+@_register(
+    "txt_token_stats",
+    f"""
+    SELECT doc_id, {X.token_count_sql('text')} AS n_tokens,
+           ROUND({X.distinct_token_ratio_sql('text')}, 6) AS distinct_ratio,
+           ROUND({X.quality_score_sql('text')}, 6) AS quality
+    FROM documents
+    """,
+)
+def txt_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_expr(F.col("text")).alias("n_tokens"),
+        F.round(X.distinct_token_ratio_expr(F.col("text")), 6).alias("distinct_ratio"),
+        F.round(X.quality_score_expr(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    scores = {lang: X.lang_score_sql("text", lang) for lang in X.LANG_MARKERS}
+    langs = list(X.LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"({scores[lang]}) >= ({scores[other]})" for other in langs[i + 1 :]
+        )
+        cases.append(f"WHEN {conds if conds else 'TRUE'} THEN '{lang}'")
+    return f"SELECT doc_id, CASE {' '.join(cases)} END AS pred_lang FROM documents"
+
+
+@_register("txt_langid", _langid_sql())
+def txt_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    langs = list(X.LANG_MARKERS)
+    scores = {lang: X.lang_score_expr(F.col("text"), lang) for lang in langs}
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if expr is None:
+            expr = F.when(cond if cond is not None else F.lit(True), branch)
+        elif cond is not None:
+            expr = expr.when(cond, branch)
+        else:
+            expr = expr.otherwise(branch)
+    return docs.select("doc_id", expr.alias("pred_lang"))
+
+
+@_register(
+    "txt_fingerprint",
+    f"SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents",
+)
+def txt_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_expr(F.col("text")).alias("fp"))
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+    SELECT {X.fingerprint_sql('text')} AS fingerprint, COUNT(*) AS n_dups,
+           MIN(doc_id) AS keeper
+    FROM aug GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_duplicates(aug).select("fingerprint", "n_dups", "keeper")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lang, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 60),
+    grams AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(t) = 0 THEN []
+                  WHEN length(t) < 3 THEN [t]
+                  ELSE list_distinct([substring(t, i, 3) FOR i IN range(1, length(t) - 1)])
+             END AS g
+      FROM norm)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+          / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.35
+    """,
+)
+def dedup_ngram(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.35, block_col="lang")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register("dedup_minhash_lsh")  # rows-only: hash-family specifics not in SQL
+def dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
+
+
+@_register("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_pairs(docs, max_hamming=12)
+
+
+# --------------------------- embeddings ------------------------------------
+
+@_register(
+    "sim_cosine_topk",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+               e.vec_id ASC) AS rank
+      FROM q CROSS JOIN emb e)
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@_register(
+    "emb_label_centroids",
+    """
+    WITH flat AS (
+      SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+    SELECT label, pos, ROUND(AVG(v), 6) AS avg_val FROM flat GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "col")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("avg_val"))
+    )
+
+
+@_register("emb_near_dup")  # rows-only: LSH bucketing not SQL-reproducible
+def emb_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.9, planes=8)
+
+
+# --------------------------- turn expansion (rows-only) --------------------
+
+@_register("gb_turns")  # rows-only: multi-stage pipeline, checked by pytest oracle
+def gb_turns(spark, sf_dir):
+    t = graph_tables(spark, sf_dir)
+    # 10% way sample: full lineitem-derived graph is near-complete on shared
+    # nodes, which quadratically inflates the turn count without adding signal
+    wn = t["way_nodes"].filter(F.col("way_id") % 10 == 0)
+    ways = t["ways"].filter(F.col("id") % 10 == 0)
+    edges = graph_build.build_edges(t["nodes"], ways, wn, res=6)
+    restrictions = spark.createDataFrame(
+        [], "id long, from_way long, via_node long, to_way long, type int"
+    )
+    return turn_expand.expand_turns(edges, restrictions).select(
+        "src_edge_id", "tgt_edge_id", "from_way", "to_way", "via_node",
+        F.round("cost", 6).alias("cost"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join + tile assignment — the BASELINE.json headline metric.
+
+    Box-anchored: one row per box with its covering-tile count and contained
+    point count (0 when empty), so the smoke check always sees rows.
+    """
+    pip = sp_pip_join(spark, sf_dir).groupBy("box_id").agg(
+        F.countDistinct("point_id").alias("n_points")
+    )
+    tiles = sp_tile_assignment(spark, sf_dir).groupBy("box_id").agg(
+        F.countDistinct("cell").alias("n_tiles")
+    )
+    return (
+        tiles.join(pip, "box_id", "left")
+        .select("box_id", F.coalesce("n_points", F.lit(0)).alias("n_points"), "n_tiles")
+    )

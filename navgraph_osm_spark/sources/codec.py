@@ -128,26 +128,33 @@ def decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
     Usage: ``df.mapInPandas(decode_stats_batches, schema=DECODE_STATS_SCHEMA)``.
     """
+    cols = [c.split(" ")[0] for c in DECODE_STATS_SCHEMA.split(", ")]
     for pdf in batches:
-        rows = []
-        for img_id, data, fmt, ph in zip(
-            pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["phash"]
-        ):
+        n = len(pdf)
+        ws = np.empty(n, dtype=np.int32)
+        hs = np.empty(n, dtype=np.int32)
+        means = np.empty((n, 3), dtype=np.float64)
+        ok = np.empty(n, dtype=bool)
+        for i, (data, ph) in enumerate(zip(pdf["bytes"], pdf["phash"])):
             arr = decode_image(bytes(data))
-            rows.append(
-                {
-                    "image_id": img_id,
-                    "w": arr.shape[1],
-                    "h": arr.shape[0],
-                    "fmt": fmt,
-                    "mean_r": float(arr[..., 0].mean()),
-                    "mean_g": float(arr[..., 1].mean()),
-                    "mean_b": float(arr[..., 2].mean()),
-                    "phash_ok": phash64(arr) == int(ph),
-                    "psnr": float("inf") if fmt == "png" else 41.0,
-                }
-            )
-        yield pd.DataFrame(rows, columns=[c.split(" ")[0] for c in DECODE_STATS_SCHEMA.split(", ")])
+            hs[i], ws[i] = arr.shape[0], arr.shape[1]
+            means[i] = arr.reshape(-1, 3).mean(axis=0)
+            ok[i] = phash64(arr) == int(ph)
+        fmt = pdf["fmt"].to_numpy()
+        yield pd.DataFrame(
+            {
+                "image_id": pdf["image_id"].to_numpy(),
+                "w": ws,
+                "h": hs,
+                "fmt": fmt,
+                "mean_r": means[:, 0],
+                "mean_g": means[:, 1],
+                "mean_b": means[:, 2],
+                "phash_ok": ok,
+                "psnr": np.where(fmt == "png", np.inf, 41.0),
+            },
+            columns=cols,
+        )
 
 
 RESIZE_SCHEMA = "image_id string, thumb binary, tw int, th int"

@@ -113,8 +113,17 @@ def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
     w = (16 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 7)) % np.uint64(49))).astype(np.int32)
     h = (16 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 8)) % np.uint64(49))).astype(np.int32)
     fmt = np.where(_u01(ids, seed, 9) < 0.5, "png", "jpeg")
-    # captions: 3-8 vocab words; deterministic unicode/empty edge cases
+    # captions: 3-8 vocab words; deterministic unicode/empty edge cases.
+    # vectorized: one (n, 8) splitmix matrix, sliced per row by cap_len.
     cap_len = 3 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 10)) % np.uint64(6)).astype(np.int64)
+    word_pos = np.arange(8, dtype=np.uint64) * np.uint64(2654435761)
+    idx_mat = (
+        splitmix64(
+            word_pos[None, :] ^ (ids.astype(np.uint64) * np.uint64(31) + np.uint64(seed))[:, None]
+        )
+        % np.uint64(len(_VOCAB))
+    ).astype(np.int64)
+    vocab = np.array(_VOCAB)
     captions = []
     for i, cid in enumerate(ids):
         if cid % 97 == 0:
@@ -122,11 +131,7 @@ def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
         elif cid % 101 == 0:
             captions.append("東京 🌉 čaj ñandú")
         else:
-            idxs = splitmix64(
-                np.arange(cap_len[i], dtype=np.uint64) * np.uint64(2654435761)
-                ^ np.uint64(cid * 31 + seed)
-            ) % np.uint64(len(_VOCAB))
-            captions.append(" ".join(_VOCAB[int(j)] for j in idxs))
+            captions.append(" ".join(vocab[idx_mat[i, : cap_len[i]]]))
     # footprint: small quad around the point (simulated EXIF/tile metadata)
     half = 0.001 + _u01(ids, seed, 11) * 0.004
     return pd.DataFrame(
@@ -180,15 +185,77 @@ def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
     ]
 
 
-def gen_images(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic image table: spark.range → mapInPandas."""
+def gen_decode_stats(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Fused generate→decode→verify stage (single python worker per task).
+
+    Operator fusion of ``gen_images`` + ``codec.decode_stats_batches``: the
+    encoded bytes never cross the Arrow boundary, and each Spark task drives
+    exactly one python process — required for honest N-vs-4N scaling runs
+    (chained python stages otherwise pipeline on 2 cores per task slot).
+    """
+    from navgraph_osm_spark.sources import codec
+
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism * 4)
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            full = gen_images_pdf(pdf["id"].to_numpy(), seed)
+            yield from codec.decode_stats_batches(iter([full]))
+
+    return rng.mapInPandas(_fused, schema="" + _decode_schema())
+
+
+def _decode_schema() -> str:
+    from navgraph_osm_spark.sources import codec
+
+    return codec.DECODE_STATS_SCHEMA
+
+
+GEO_ONLY_SCHEMA = T.StructType(
+    [f for f in IMAGES_SCHEMA.fields if f.name not in ("bytes", "phash")]
+)
+
+
+def gen_images_geo_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Scalar+geo columns only (no pixel encode) — the column-pruned scan."""
+    base = image_fields(ids, seed)
+    fps = []
+    for row in base.itertuples(index=False):
+        hlf = float(row.half)
+        fps.append(
+            [
+                {"lat": row.lat - hlf, "lng": row.lng - hlf},
+                {"lat": row.lat - hlf, "lng": row.lng + hlf},
+                {"lat": row.lat + hlf, "lng": row.lng + hlf},
+                {"lat": row.lat + hlf, "lng": row.lng - hlf},
+            ]
+        )
+    out = base.drop(columns=["half"])
+    out["footprint"] = fps
+    return out[["image_id", "w", "h", "fmt", "caption", "lat", "lng", "footprint"]]
+
+
+def gen_images(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    payload: bool = True,
+) -> DataFrame:
+    """Distributed deterministic image table: spark.range → mapInPandas.
+
+    ``payload=False`` skips pixel synthesis/encode and omits bytes/phash —
+    the generator-side analogue of Parquet column pruning for geo-only
+    consumers (footprints, captions, coordinates).
+    """
     rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield gen_images_pdf(pdf["id"].to_numpy(), seed)
+            ids = pdf["id"].to_numpy()
+            yield gen_images_pdf(ids, seed) if payload else gen_images_geo_pdf(ids, seed)
 
-    return rng.mapInPandas(_gen, schema=IMAGES_SCHEMA)
+    return rng.mapInPandas(_gen, schema=IMAGES_SCHEMA if payload else GEO_ONLY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -90,6 +90,23 @@ def test_skewed_distribution(images):
     assert near_paris > N * 0.15
 
 
+def test_geo_pruned_gen_matches_full(spark):
+    full = synth.gen_images(spark, 40, seed=42, partitions=2).toPandas()
+    geo = synth.gen_images(spark, 40, seed=42, partitions=3, payload=False).toPandas()
+    full = full.sort_values("image_id").reset_index(drop=True)
+    geo = geo.sort_values("image_id").reset_index(drop=True)
+    for c in ["image_id", "w", "h", "fmt", "caption", "lat", "lng"]:
+        assert (full[c] == geo[c]).all(), c
+    for a, b in zip(full["footprint"], geo["footprint"]):
+        assert list(a) == list(b)
+
+
+def test_fused_gen_decode_stats(spark):
+    stats = synth.gen_decode_stats(spark, 60, seed=42, partitions=4).toPandas()
+    assert len(stats) == 60
+    assert stats["phash_ok"].all()
+
+
 def test_external_decoder_stub():
     with pytest.raises(NotImplementedError):
         codec.external_decoder_stub(b"xx", "jpeg")
