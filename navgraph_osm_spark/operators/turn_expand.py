@@ -52,13 +52,25 @@ def split_restrictions(restrictions: DataFrame, edges: DataFrame) -> tuple[DataF
     return no_rest, only_agg
 
 
-def expand_turns(edges: DataFrame, restrictions: DataFrame) -> DataFrame:
+def expand_turns(
+    edges: DataFrame, restrictions: DataFrame, materialize: bool = True
+) -> DataFrame:
     """J4-J9 + F6 → expanded-edge DataFrame.
 
     Output: exp_edge_id, src_edge_id, tgt_edge_id, from_way, to_way,
     via_node, via_cell, cost = (src.cost + tgt.cost) / 2
     (reference invert.hpp:108-113).
+
+    ``materialize`` persists the edge relation before the self-join —
+    without it Catalyst plans the whole upstream edge-build pipeline twice
+    (once per join side; no exchange reuse across the self-join).  This is
+    the Spark analogue of the reference materializing edge files on disk
+    before EP3 (reference main.cpp:587-708 → 918).  In a checkpointed
+    pipeline pass ``materialize=False`` and feed an already-materialized
+    edges table.
     """
+    if materialize:
+        edges = edges.persist()
     a = edges.select(
         F.col("edge_id").alias("src_edge_id"),
         F.col("way_id").alias("from_way"),

@@ -73,6 +73,9 @@ class TableWriter:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(target)
+            # drop any cached file listing from earlier reads of this path —
+            # an overwrite otherwise leaves readers pointing at deleted files
+            self.spark.catalog.refreshByPath(target)
         return target
 
     def read(self, name: str) -> DataFrame:
