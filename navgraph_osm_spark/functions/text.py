@@ -33,9 +33,11 @@ def token_count_expr(text: Column) -> Column:
 
 
 def token_count_sql(text: str) -> str:
+    # CAST: DuckDB length() is BIGINT while Spark's is INT — align widths
     return (
-        f"CASE WHEN length(trim({text})) = 0 THEN 0 "
-        f"ELSE length(trim({text})) - length(replace(trim({text}), ' ', '')) + 1 END"
+        f"CAST(CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE length(trim({text})) - length(replace(trim({text}), ' ', '')) + 1 END "
+        f"AS INTEGER)"
     )
 
 

@@ -313,8 +313,8 @@ def ev_hourly(spark, sf_dir):
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
-      SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
@@ -345,7 +345,8 @@ def ev_sessionize(spark, sf_dir):
     WITH wn AS ({GRAPH_WN_SQL}),
     ext AS (SELECT *, min(seq) OVER (PARTITION BY way_id) AS mn,
                    max(seq) OVER (PARTITION BY way_id) AS mx FROM wn)
-    SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
+    SELECT node_id,
+           CAST(SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS BIGINT) AS used
     FROM ext GROUP BY node_id
     """,
 )
@@ -364,8 +365,8 @@ def gb_usage(spark, sf_dir):
     used AS (SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
              FROM ext GROUP BY node_id)
     SELECT e.way_id,
-           1 + SUM(CASE WHEN e.seq > e.mn AND e.seq < e.mx AND u.used > 1
-                        THEN 1 ELSE 0 END) AS n_segments
+           CAST(1 + SUM(CASE WHEN e.seq > e.mn AND e.seq < e.mx AND u.used > 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
     FROM ext e JOIN used u ON e.node_id = u.node_id
     GROUP BY e.way_id HAVING max(e.mx) > min(e.mn)
     """,
@@ -401,7 +402,7 @@ _GB_EDGES_ORACLE = f"""
            arg_min(node_id, seq) AS src_node,
            arg_max(nxt_node, seq) AS tgt_node,
            ROUND(SUM({haversine_sql('lat', 'lng', 'nlat', 'nlng')}), 6) AS cost,
-           COUNT(*) + 1 AS n_points
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_points
     FROM legs WHERE nxt_node IS NOT NULL
     GROUP BY way_id, seg
 """
@@ -417,7 +418,7 @@ def gb_edges(spark, sf_dir):
         "src_node",
         "tgt_node",
         F.round("cost", 6).alias("cost"),
-        F.size("geom").alias("n_points"),
+        F.size("geom").cast("long").alias("n_points"),
     )
 
 
@@ -455,7 +456,7 @@ def gb_edges_with_reverse(spark, sf_dir):
              GROUP BY e.way_id HAVING max(e.mx) > min(e.mn))
     SELECT (SELECT COUNT(*) FROM used) AS nodes_kept,
            (SELECT COUNT(*) FROM segs) AS ways_used,
-           (SELECT SUM(n_segments) FROM segs) AS edges_fwd
+           (SELECT CAST(SUM(n_segments) AS BIGINT) FROM segs) AS edges_fwd
     """,
 )
 def gb_counts(spark, sf_dir):
@@ -566,7 +567,7 @@ def sp_tile_assignment(spark, sf_dir):
                ORDER BY {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} ASC,
                         p.point_id ASC) AS rank
       FROM q CROSS JOIN pts p)
-    SELECT query_id, point_id, ROUND(d, 6) AS dist_km, rank
+    SELECT query_id, point_id, ROUND(d, 6) AS dist_km, CAST(rank AS INT) AS rank
     FROM scored WHERE rank <= 5
     """,
 )
@@ -579,6 +580,80 @@ def sp_knn(spark, sf_dir):
     return out.select(
         "query_id", "point_id", F.round("dist_km", 6).alias("dist_km"), "rank"
     )
+
+
+@_register(
+    "s3_delta_decode",
+    """
+    SELECT l_orderkey AS way_id, l_linenumber AS seq,
+           ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_quantity
+             ROWS UNBOUNDED PRECEDING), 4) AS absolute
+    FROM lineitem
+    """,
+)
+def s3_delta_decode(spark, sf_dir):
+    """S3 delta decoding: running prefix sum of per-way deltas
+    (reference worker.hpp:188-216 dense-node decode)."""
+    from navgraph_osm_spark.operators.decode_ops import delta_decode
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("seq"),
+        "l_partkey",
+        "l_quantity",
+    )
+    out = delta_decode(
+        li,
+        "l_quantity",
+        "way_id",
+        F.struct("seq", "l_partkey", "l_quantity"),
+        out="absolute",
+    )
+    return out.select("way_id", "seq", F.round("absolute", 4).alias("absolute"))
+
+
+@_register(
+    "a3_running_offsets",
+    f"""
+    WITH pts AS ({POINTS_SQL}),
+    cells AS (SELECT point_id, {cell_xy_sql('lat', 'lng', _RES_XY)} AS cell FROM pts)
+    SELECT point_id, cell,
+           CAST(row_number() OVER (PARTITION BY cell ORDER BY point_id) - 1 AS INT)
+             AS offset
+    FROM cells
+    """,
+)
+def a3_running_offsets(spark, sf_dir):
+    """A3 per-cell monotonic offsets (reference main.cpp:314-326)."""
+    from navgraph_osm_spark.operators.decode_ops import running_offsets
+
+    pts = points_df(spark, sf_dir).select(
+        "point_id", cell_xy_expr(F.col("lat"), F.col("lng"), _RES_XY).alias("cell")
+    )
+    return running_offsets(pts, "cell", "point_id").select(
+        "point_id", "cell", F.col("offset").cast("int").alias("offset")
+    )
+
+
+@_register("img_embed_ann")  # rows-only: image payloads not visible to DuckDB
+def img_embed_ann(spark, sf_dir):
+    """Image → embedding → ANN composition: decode the synthetic image table,
+    extract 192-dim thumbnail embeddings, cosine top-3 per query image."""
+    from navgraph_osm_spark.sources import codec
+    from navgraph_osm_spark.sources.synth import gen_images
+
+    imgs = gen_images(spark, 300, seed=42, partitions=8)
+    emb = imgs.mapInPandas(codec.embed_batches, schema=codec.EMBED_SCHEMA).select(
+        F.col("image_id").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    emb = emb.persist()
+    q = emb.filter(F.col("vec_id") < "img00000010").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_bruteforce(emb, q, k=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 # --------------------------- text / dedup ----------------------------------
@@ -720,7 +795,7 @@ def dedup_simhash(spark, sf_dir):
                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
                e.vec_id ASC) AS rank
       FROM q CROSS JOIN emb e)
-    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
     FROM scored WHERE rank <= 5
     """,
 )

@@ -180,6 +180,30 @@ def resize_batches(size: int = 8):
     return _kernel
 
 
+EMBED_DIM = 8 * 8 * 3
+EMBED_SCHEMA = "image_id string, embedding array<float>"
+
+
+def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode → 8×8 thumbnail → L2-normalized embedding.
+
+    The image analogue of a feature extractor: downstream ANN/dedup operators
+    consume the ``embedding`` column exactly like the text embeddings table.
+    """
+    for pdf in batches:
+        ids, vecs = [], []
+        for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+            arr = decode_image(bytes(data))
+            thumb = np.stack(
+                [_resize_block_mean(arr[..., c].astype(np.float64), 8) for c in range(3)],
+                axis=-1,
+            ).ravel()
+            norm = np.linalg.norm(thumb)
+            vecs.append((thumb / norm if norm > 0 else thumb).astype(np.float32))
+            ids.append(img_id)
+        yield pd.DataFrame({"image_id": ids, "embedding": [v.tolist() for v in vecs]})
+
+
 def external_decoder_stub(data: bytes, fmt: str) -> np.ndarray:
     """Placeholder for a real libjpeg/libpng decoder (libs absent in container).
 
