@@ -215,6 +215,67 @@ def simhash_pairs(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Label propagation: every node starts labeled with itself; each round each
+    node takes the min label among itself and its neighbors; stop at
+    fixpoint.  Converges in O(diameter) rounds — near-dup clusters are
+    shallow (dups of dups), so a handful of rounds suffices at any scale.
+    The driver loop iterates over rounds, never rows; each round is one
+    groupBy over the (small relative to corpus) pair set.
+
+    cluster_id = min doc id in the component (the canonical "keeper").
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        # pointer doubling: also adopt the label of one's current label —
+        # O(log diameter) rounds instead of O(diameter)
+        hop = labels.select(F.col("node").alias("lbl_node"), F.col("label").alias("lbl_label"))
+        doubled = labels.join(
+            hop, labels["label"] == hop["lbl_node"], "left"
+        ).select("node", "label", F.col("lbl_label").alias("label_of_label"))
+        merged = doubled.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce("label_of_label", F.col("label")),
+                F.coalesce("nbr_label", F.col("label")),
+            ).alias("new_label"),
+            "label",
+        )
+        # localCheckpoint (eager) truncates lineage — iterative DataFrame
+        # plans otherwise grow exponentially across rounds
+        merged = merged.localCheckpoint(eager=True)
+        converged = merged.filter(F.col("new_label") != F.col("label")).isEmpty()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if converged:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -77,6 +77,65 @@ def knn_join(
     )
 
 
+def knn_join_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    ring: int = 1,
+    max_rounds: int = 3,
+    growth: int = 3,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact kNN via ring expansion with starved-query escalation.
+
+    Round 1 runs :func:`knn_join` at ``ring``; queries that got fewer than
+    ``k`` results OR whose k-th distance exceeds the ring's guaranteed
+    coverage radius re-run at ``ring * growth``; after ``max_rounds`` the
+    stragglers fall back to brute force.  The driver loop iterates over
+    *rounds* (≤ max_rounds), never rows — each round is a plain join.
+
+    Guarantee: a result set is provably complete when the k-th neighbor
+    distance is ≤ the minimum distance to any cell outside the disk; we use
+    the conservative bound ring * (min cell extent in km at the equator…
+    clamped by latitude), so escalation may over-trigger but never misses.
+    """
+    remaining = queries.select(query_id, "lat", "lng")
+    done_parts: list[DataFrame] = []
+    cur_ring = ring
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        got = knn_join(points, remaining, k, res, cur_ring, point_id, query_id)
+        # conservative guaranteed-coverage radius for each query's latitude:
+        # ring full rows of cells are always within ring * lat_extent;
+        # longitude extent shrinks with cos(lat), so use the lat extent only
+        # when it is the binding dimension — bound by min of both.
+        lat_extent_km = 180.0 / (1 << res) * (math.pi / 180.0) * EARTH_RADIUS_KM
+        cov = got.join(remaining, query_id).groupBy(query_id).agg(
+            F.count("*").alias("n_got"),
+            F.max("dist_km").alias("kth_dist"),
+            F.first(
+                F.lit(float(cur_ring) * 0.99)  # small-angle safety margin
+                * F.lit(lat_extent_km)
+                * F.least(F.lit(1.0), F.cos(F.radians(F.col("lat"))) * 2.0)
+            ).alias("safe_radius"),
+        )
+        complete = cov.filter(
+            (F.col("n_got") >= k) & (F.col("kth_dist") <= F.col("safe_radius"))
+        ).select(query_id)
+        done_parts.append(got.join(complete, query_id, "left_semi"))
+        remaining = remaining.join(complete, query_id, "left_anti")
+        cur_ring *= growth
+    if not remaining.isEmpty():
+        done_parts.append(knn_join_bruteforce(points, remaining, k, point_id, query_id))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn_join_bruteforce(
     points: DataFrame,
     queries: DataFrame,

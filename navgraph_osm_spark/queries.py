@@ -656,6 +656,36 @@ def img_embed_ann(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+@_register(
+    "sp_knn_adaptive",
+    f"""
+    WITH pts AS ({POINTS_SQL}),
+    q AS (SELECT point_id AS query_id, lat AS q_lat, lng AS q_lng FROM pts
+          WHERE point_id <= 40),
+    scored AS (
+      SELECT q.query_id, p.point_id,
+             {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} AS d,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} ASC,
+                        p.point_id ASC) AS rank
+      FROM q CROSS JOIN pts p)
+    SELECT query_id, point_id, ROUND(d, 6) AS dist_km, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sp_knn_adaptive(spark, sf_dir):
+    """Ring-expansion kNN with starved-query escalation — exact results with
+    genuine pruning (small initial ring), oracled against brute force."""
+    pts = points_df(spark, sf_dir)
+    q = pts.filter(F.col("point_id") <= 40).select(
+        F.col("point_id").alias("query_id"), "lat", "lng"
+    )
+    out = knn_ops.knn_join_adaptive(pts, q, k=5, res=6, ring=2, max_rounds=3)
+    return out.select(
+        "query_id", "point_id", F.round("dist_km", 6).alias("dist_km"), "rank"
+    )
+
+
 # --------------------------- text / dedup ----------------------------------
 
 @_register(
@@ -765,6 +795,37 @@ def dedup_ngram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     out = dedup.ngram_jaccard_pairs(docs, threshold=0.35, block_col="lang")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+    fps AS (SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM aug),
+    dup_fps AS (SELECT fp, MIN(doc_id) AS cluster_id FROM fps
+                GROUP BY fp HAVING COUNT(*) >= 2)
+    SELECT f.doc_id, d.cluster_id
+    FROM fps f JOIN dup_fps d ON f.fp = d.fp
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over exact-dup pairs.  With pairs drawn from
+    identical fingerprints the components are exactly the fingerprint
+    groups — SQL-checkable while still exercising the iterative
+    label-propagation operator."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    groups = dedup.exact_duplicates(aug)
+    pairs = groups.select(
+        F.col("keeper").alias("id_a"), F.explode("doc_ids").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    return dedup.cluster_pairs(pairs).select("doc_id", "cluster_id")
 
 
 @_register("dedup_minhash_lsh")  # rows-only: hash-family specifics not in SQL
