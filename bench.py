@@ -104,12 +104,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     names = [
         "sp_pip_join",
         "sp_tile_assignment",
-        "sp_knn",
+        "sp_knn_adaptive",
         "sp_cell_histogram",
         "gb_edges",
         "gb_turns",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "sim_cosine_topk",
         "q1_pricing_summary",
         "ev_sessionize",

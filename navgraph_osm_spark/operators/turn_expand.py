@@ -53,7 +53,7 @@ def split_restrictions(restrictions: DataFrame, edges: DataFrame) -> tuple[DataF
 
 
 def expand_turns(
-    edges: DataFrame, restrictions: DataFrame, materialize: bool = True
+    edges: DataFrame, restrictions: DataFrame, materialize: bool = False
 ) -> DataFrame:
     """J4-J9 + F6 → expanded-edge DataFrame.
 
@@ -61,14 +61,23 @@ def expand_turns(
     via_node, via_cell, cost = (src.cost + tgt.cost) / 2
     (reference invert.hpp:108-113).
 
-    ``materialize`` persists the edge relation before the self-join —
-    without it Catalyst plans the whole upstream edge-build pipeline twice
-    (once per join side; no exchange reuse across the self-join).  This is
-    the Spark analogue of the reference materializing edge files on disk
-    before EP3 (reference main.cpp:587-708 → 918).  In a checkpointed
-    pipeline pass ``materialize=False`` and feed an already-materialized
-    edges table.
+    ``materialize=True`` persists the (pruned) edge relation before the
+    self-join so the upstream edge-build pipeline isn't planned twice.
+    Measured on this box, the pruned double-compute is cheaper than the
+    persist barrier (sf0.1: 7.7s vs 12.6s), so the default is False; the
+    production-scale answer is neither — feed an already-materialized edges
+    checkpoint table (pipeline.py), the Spark analogue of the reference
+    writing edge files before EP3 (reference main.cpp:587-708 → 918).
+
+    Note the projection: only join-relevant columns are selected up front —
+    persisting the full relation would force computing/storing the geometry
+    arrays this operator never reads (persist defeats column pruning).
     """
+    slim_cols = [
+        "edge_id", "way_id", "cost", "src_node", "tgt_node",
+        "src_cell", "tgt_cell", "src_lat", "src_lng", "tgt_lat", "tgt_lng",
+    ]
+    edges = edges.select(*slim_cols)
     if materialize:
         edges = edges.persist()
     a = edges.select(
