@@ -840,6 +840,29 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, max_hamming=12)
 
 
+@_register("gb_export")  # rows-only: LINESTRING text assembly not in SQL scope
+def gb_export(spark, sf_dir):
+    """J10 + W4 + S6: expanded edges joined to geometry, LINESTRING rows
+    (reference csv/generate.hpp) over the derived graph sample."""
+    from navgraph_osm_spark.operators.export import export_rows
+
+    t = graph_tables(spark, sf_dir)
+    wn = t["way_nodes"].filter(F.col("way_id") % 20 == 0)
+    ways = t["ways"].filter(F.col("id") % 20 == 0)
+    edges = graph_build.build_edges(t["nodes"], ways, wn, res=6)
+    restrictions = spark.createDataFrame(
+        [], "id long, from_way long, via_node long, to_way long, type int"
+    )
+    turns = turn_expand.expand_turns(edges, restrictions)
+    return export_rows(edges, turns).select(
+        F.round("weight", 6).alias("weight"),
+        "geom",
+        "was_one_way",
+        "osm_way_from",
+        "osm_way_to",
+    )
+
+
 # --------------------------- embeddings ------------------------------------
 
 @_register(
