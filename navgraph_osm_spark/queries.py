@@ -924,6 +924,20 @@ def emb_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(emb, threshold=0.9, planes=8)
 
 
+@_register("skew_adaptive_split")  # rows-only: level-iteration not SQL-shaped
+def skew_adaptive_split(spark, sf_dir):
+    """Adaptive cell splitting over the skewed synthetic image table: dense
+    city-core cells descend to finer resolutions until under threshold."""
+    from navgraph_osm_spark.operators.skew import adaptive_cell_split, cell_histogram
+    from navgraph_osm_spark.sources.synth import gen_images
+
+    pts = gen_images(spark, 2000, seed=42, partitions=8, payload=False).select(
+        "image_id", "lat", "lng"
+    )
+    split = adaptive_cell_split(pts, res=6, threshold=100, max_extra_levels=3)
+    return cell_histogram(split, "part_cell").orderBy("part_cell")
+
+
 # --------------------------- turn expansion (rows-only) --------------------
 
 @_register("gb_turns")  # rows-only: multi-stage pipeline, checked by pytest oracle
