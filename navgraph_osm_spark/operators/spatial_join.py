@@ -49,11 +49,13 @@ def footprint_bbox(df: DataFrame, fp: str = "footprint") -> DataFrame:
 
 
 def covering_cells(df: DataFrame, res: int, fp: str = "footprint",
-                   out: str = "cell") -> DataFrame:
+                   out: str = "cell", keep_bbox: bool = False) -> DataFrame:
     """Explode each polygon row into its bbox-covering cell ids.
 
     This is the raster↔vector tiling primitive: for images, the footprint's
     covering cells ARE its tile assignments.  Pure column expressions.
+    ``keep_bbox=True`` retains the lat/lng min/max columns (the spatial join
+    uses them as a codegen-side candidate prefilter).
     """
     df = footprint_bbox(df, fp)
     x0, y_at_latmax = xy_expr(F.col("lat_max"), F.col("lng_min"), res)
@@ -63,8 +65,10 @@ def covering_cells(df: DataFrame, res: int, fp: str = "footprint",
         df.withColumn("cx", F.explode(F.sequence(x0, x1)))
         .withColumn("cy", F.explode(F.sequence(y_at_latmax, y_at_latmin)))
         .withColumn(out, cell_from_xy_expr(F.col("cx"), F.col("cy"), res))
-        .drop("cx", "cy", "lat_min", "lat_max", "lng_min", "lng_max")
+        .drop("cx", "cy")
     )
+    if not keep_bbox:
+        df = df.drop("lat_min", "lat_max", "lng_min", "lng_max")
     return df
 
 
@@ -83,9 +87,11 @@ _REFINE_HELP_COLS = ("__plat", "__plng", "__fp_lat", "__fp_lng")
 def _refine_kernel(id_cols: list[str]):
     """Kernel factory: exact point-in-polygon refinement over candidate pairs.
 
-    Vectorizes over all points sharing a polygon within the Arrow batch;
-    yields only the id columns of surviving pairs.
+    Vectorizes over all points sharing a polygon (grouped by the polygon id,
+    ``id_cols[1]``) within the Arrow batch; yields only the id columns of
+    surviving pairs.
     """
+    pid_col = id_cols[1]
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,10 +99,7 @@ def _refine_kernel(id_cols: list[str]):
                 yield pdf[id_cols]
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
-            key = pdf["__fp_lat"].map(
-                lambda a: np.asarray(a, dtype=np.float64).tobytes()
-            )
-            for _, idx in pdf.groupby(key, sort=False).groups.items():
+            for _, idx in pdf.groupby(pid_col, sort=False).groups.items():
                 rows = pdf.loc[idx]
                 fp_lat = np.asarray(rows["__fp_lat"].iloc[0], dtype=np.float64)
                 fp_lng = np.asarray(rows["__fp_lng"].iloc[0], dtype=np.float64)
@@ -133,6 +136,56 @@ def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
 
 
 BROADCAST_POLY_LIMIT = 200_000
+BROADCAST_VERTEX_LIMIT = 5_000_000  # ≈80 MB of float64 lat/lng pairs
+
+
+def _ring_expr(fp_col):
+    """Footprint array with an explicit closing vertex (first == last) removed."""
+    first, last = F.element_at(fp_col, 1), F.element_at(fp_col, -1)
+    closed = (
+        (F.size(fp_col) > 1)
+        & (first["lat"] == last["lat"])
+        & (first["lng"] == last["lng"])
+    )
+    return F.when(closed, F.slice(fp_col, 1, F.size(fp_col) - 1)).otherwise(fp_col)
+
+
+def _is_axis_rect_expr(ring, lat_min, lat_max, lng_min, lng_max):
+    """True iff the ring is exactly its bounding box (axis-aligned rectangle
+    traversed in perimeter order).  For such footprints the even-odd interior
+    equals the half-open bbox, so the exact refinement can be decided in
+    codegen — the raster↔vector tiling case (rectangular image footprints)
+    then never touches Python.
+
+    Conditions: 4 distinct vertices, every vertex on a bbox corner,
+    consecutive vertices (cyclically) differ in exactly one coordinate
+    (excludes bowtie orders, whose even-odd interior is not the box),
+    non-degenerate bbox.
+    """
+    on_corner = F.forall(
+        ring,
+        lambda p: ((p["lat"] == lat_min) | (p["lat"] == lat_max))
+        & ((p["lng"] == lng_min) | (p["lng"] == lng_max)),
+    )
+    nxt = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    steps_ok = F.forall(
+        F.zip_with(
+            ring,
+            nxt,
+            lambda a, b: (a["lat"] == b["lat"]).cast("int")
+            + (a["lng"] == b["lng"]).cast("int")
+            == 1,
+        ),
+        lambda v: v,
+    )
+    return (
+        (F.size(ring) == 4)
+        & (F.size(F.array_distinct(ring)) == 4)
+        & on_corner
+        & steps_ok
+        & (lat_min < lat_max)
+        & (lng_min < lng_max)
+    )
 
 
 def point_in_polygon_join(
@@ -149,48 +202,86 @@ def point_in_polygon_join(
 ) -> DataFrame:
     """Points ⋈ polygons containment join.
 
-    Candidates: equi join on cell (point cell vs polygon covering cells);
-    refinement: exact ray casting in mapInPandas (skippable for bbox-only
-    semantics with ``exact=False``).
+    Plan (all candidate work JVM-side):
 
-    When the polygon side is dim-sized (≤ ``BROADCAST_POLY_LIMIT`` rows, the
-    common raster↔vector case), its vertices are broadcast to the refinement
-    kernel so candidate rows carry only ids + the point coordinates — arrays
-    never cross Arrow per row.  Set ``broadcast_polys=False`` to force the
-    carry-along path (arbitrarily large polygon tables).
+    1. candidates: equi join on cell (point cell vs polygon covering cells);
+    2. **bbox prefilter in codegen** — half-open bounds chosen to match the
+       ray-cast kernel's boundary convention exactly (a point at
+       lat_max/lng_max can never be inside; at lat_min/lng_min it can);
+    3. **rectangle fast path** — footprints that are exactly their bbox
+       (detected per row, see :func:`_is_axis_rect_expr`) are decided by the
+       prefilter alone, entirely in codegen;
+    4. only non-rectangular bbox survivors reach the Arrow-batched
+       ray-casting kernel.
+
+    Output pairs are unique by construction (a point lies in exactly one
+    cell at ``res`` and each polygon covers a cell at most once), so there is
+    no distinct — no extra shuffle of the result.
+
+    When the polygon side is dim-sized (≤ ``BROADCAST_POLY_LIMIT`` rows and
+    ≤ ``BROADCAST_VERTEX_LIMIT`` total vertices, probed with a bounded
+    ``limit(n+1)`` job — never an unbounded count/collect), its vertices are
+    broadcast to the refinement kernel so candidate rows carry only ids +
+    point coordinates.  ``broadcast_polys=False`` forces the carry-along
+    kernel (arbitrarily large polygon tables).
     """
     sc = points.sparkSession.sparkContext
     pts = assign_cells(points.select(point_id, lat, lng), res, lat, lng)
-    polys = covering_cells(polygons.select(poly_id, fp), res, fp)
-    if broadcast_polys is None:
-        broadcast_polys = polygons.count() <= BROADCAST_POLY_LIMIT
+    polys = covering_cells(polygons.select(poly_id, fp), res, fp, keep_bbox=True)
 
-    base_cols = [
+    cand = pts.join(polys, "cell").filter(
+        (F.col(lat) >= F.col("lat_min"))
+        & (F.col(lat) < F.col("lat_max"))
+        & (F.col(lng) >= F.col("lng_min"))
+        & (F.col(lng) < F.col("lng_max"))
+    )
+    if not exact:
+        return cand.select(point_id, poly_id)
+
+    ring = _ring_expr(F.col(fp))
+    cand = cand.withColumn(
+        "__rect",
+        _is_axis_rect_expr(
+            ring, F.col("lat_min"), F.col("lat_max"),
+            F.col("lng_min"), F.col("lng_max"),
+        ),
+    )
+    rect_hits = cand.filter(F.col("__rect")).select(point_id, poly_id)
+    rest = cand.filter(~F.col("__rect"))
+
+    if broadcast_polys is None:
+        probe = (
+            polygons.select(F.size(F.col(fp)).alias("nv"))
+            .limit(BROADCAST_POLY_LIMIT + 1)
+            .collect()
+        )
+        broadcast_polys = (
+            len(probe) <= BROADCAST_POLY_LIMIT
+            and sum(r["nv"] for r in probe) <= BROADCAST_VERTEX_LIMIT
+        )
+
+    rest_cols = [
         F.col(point_id),
         F.col(poly_id),
         F.col(lat).alias("__plat"),
         F.col(lng).alias("__plng"),
     ]
     if not broadcast_polys:
-        base_cols += [
+        rest_cols += [
             F.transform(F.col(fp), lambda p: p["lat"]).alias("__fp_lat"),
             F.transform(F.col(fp), lambda p: p["lng"]).alias("__fp_lng"),
         ]
-    cand = pts.join(polys, "cell").select(*base_cols)
-    if not exact:
-        return cand.select(point_id, poly_id).distinct()
-    # candidate pairs inherit the cell join's skew (dense city-core cells →
-    # one fat partition → serial python tail); refinement is row-independent,
-    # so rebalance before the python stage (north_rule skew handling — the
-    # join itself is covered by AQE skew splitting).  Partitioning by
-    # (poly_id, salt) keeps each Arrow batch dense in few polygons (the
-    # kernel vectorizes per polygon) while the salt caps per-polygon skew.
-    cand = cand.repartition(
+    rest = rest.select(*rest_cols)
+    # refinement input inherits the cell join's skew (dense city-core cells);
+    # refinement is row-independent, so rebalance before the python stage.
+    # Partitioning by (poly_id, salt) keeps each Arrow batch dense in few
+    # polygons (the kernel vectorizes per polygon), salt caps per-poly skew.
+    rest = rest.repartition(
         sc.defaultParallelism * 2,
         F.col(poly_id),
         F.pmod(F.xxhash64(point_id), F.lit(16)),
     )
-    dtypes = dict(cand.dtypes)
+    dtypes = dict(rest.dtypes)
     out_schema = f"{point_id} {dtypes[point_id]}, {poly_id} {dtypes[poly_id]}"
     if broadcast_polys:
         poly_map = {
@@ -203,5 +294,5 @@ def point_in_polygon_join(
         kernel = _refine_kernel_broadcast([point_id, poly_id], sc.broadcast(poly_map))
     else:
         kernel = _refine_kernel([point_id, poly_id])
-    refined = cand.mapInPandas(kernel, schema=out_schema)
-    return refined.distinct()
+    refined = rest.mapInPandas(kernel, schema=out_schema)
+    return rect_hits.unionByName(refined)

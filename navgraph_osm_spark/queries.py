@@ -648,7 +648,8 @@ def img_embed_ann(spark, sf_dir):
         F.col("image_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    emb = emb.persist()
+    # no persist: the corpus is regenerated for the query side rather than
+    # pinning executor storage across the whole driver query sweep
     q = emb.filter(F.col("vec_id") < "img00000010").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -120,6 +120,95 @@ def test_tile_assignment_oracle(spark):
         assert got_cells == want, r["image_id"]
 
 
+def test_pip_join_carry_along_path(points, polygons):
+    """broadcast_polys=False (carry-along kernel) must equal the broadcast path."""
+    pts_df, _ = points
+    poly_df, _ = polygons
+    bc = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(
+            pts_df, poly_df, RES, broadcast_polys=True
+        ).collect()
+    }
+    carry = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(
+            pts_df, poly_df, RES, broadcast_polys=False
+        ).collect()
+    }
+    assert carry == bc
+    assert len(carry) > 0
+
+
+def test_pip_join_same_lat_different_lng_polygons(spark, points):
+    """Two polygons with identical lat arrays but different lng arrays must
+    not be conflated by the carry-along kernel (regression: the kernel used
+    to group candidate rows by lat bytes only)."""
+    pts_df, pts_pdf = points
+    # triangles (non-rect → kernel path) in the same latitude row
+    tri = lambda lng0: [  # noqa: E731
+        {"lat": 48.2, "lng": lng0},
+        {"lat": 49.3, "lng": lng0 + 0.5},
+        {"lat": 48.2, "lng": lng0 + 1.0},
+    ]
+    poly_df = spark.createDataFrame(
+        pd.DataFrame([{"poly_id": 0, "footprint": tri(1.6)},
+                      {"poly_id": 1, "footprint": tri(2.4)}]),
+        schema="poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    for bcast in (True, False):
+        got = {
+            (r["point_id"], r["poly_id"])
+            for r in point_in_polygon_join(
+                pts_df, poly_df, RES, broadcast_polys=bcast
+            ).collect()
+        }
+        want = set()
+        for pid, lng0 in ((0, 1.6), (1, 2.4)):
+            fp = tri(lng0)
+            inside = points_in_polygon_np(
+                pts_pdf["lat"].to_numpy(), pts_pdf["lng"].to_numpy(),
+                np.array([p["lat"] for p in fp]), np.array([p["lng"] for p in fp]),
+            )
+            want |= {(int(i), pid) for i in pts_pdf["point_id"][inside]}
+        assert got == want, f"broadcast_polys={bcast}"
+        assert len(got) > 0
+
+
+def test_pip_rect_fast_path_matches_kernel(spark, points):
+    """Axis-aligned rectangles (decided in codegen) and equivalent 5-point
+    closed rings / reversed orders must all match the numpy oracle."""
+    pts_df, pts_pdf = points
+    r0 = [  # plain perimeter order
+        {"lat": 48.3, "lng": 1.8}, {"lat": 48.3, "lng": 2.6},
+        {"lat": 49.1, "lng": 2.6}, {"lat": 49.1, "lng": 1.8},
+    ]
+    r1 = r0 + [r0[0]]  # explicitly closed ring (5 points)
+    r2 = list(reversed(r0))  # opposite winding
+    bowtie = [r0[0], r0[2], r0[1], r0[3]]  # NOT a rectangle: kernel path
+    poly_df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"poly_id": i, "footprint": fp} for i, fp in enumerate([r0, r1, r2, bowtie])]
+        ),
+        schema="poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(pts_df, poly_df, RES).collect()
+    }
+    want = set()
+    for pid, fp in enumerate([r0, r1, r2, bowtie]):
+        inside = points_in_polygon_np(
+            pts_pdf["lat"].to_numpy(), pts_pdf["lng"].to_numpy(),
+            np.array([p["lat"] for p in fp]), np.array([p["lng"] for p in fp]),
+        )
+        want |= {(int(i), pid) for i in pts_pdf["point_id"][inside]}
+    assert got == want
+    # sanity: rectangle formulations agree with each other
+    for pid in (1, 2):
+        assert {p for p, q in got if q == pid} == {p for p, q in got if q == 0}
+
+
 def test_knn_ring_matches_bruteforce(points, spark):
     pts_df, pts_pdf = points
     queries = pts_df.limit(25).select(
