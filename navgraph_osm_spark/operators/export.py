@@ -91,6 +91,8 @@ def export_rows(edges: DataFrame, exp_edges: DataFrame) -> DataFrame:
         ),
         F.lit(")"),
     )
+    src_mid = F.element_at(F.col("half_out"), 1)
+    tgt_mid = F.element_at(F.col("half_in"), -1)
     return joined.select(
         F.col("cost").alias("weight"),
         geom_str.alias("geom"),
@@ -101,6 +103,10 @@ def export_rows(edges: DataFrame, exp_edges: DataFrame) -> DataFrame:
         "from_target_node",
         "to_source_node",
         "to_target_node",
+        src_mid["lat"].alias("src_mid_lat"),
+        src_mid["lng"].alias("src_mid_lng"),
+        tgt_mid["lat"].alias("tgt_mid_lat"),
+        tgt_mid["lng"].alias("tgt_mid_lng"),
     )
 
 

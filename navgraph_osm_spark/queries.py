@@ -479,6 +479,155 @@ def gb_counts(spark, sf_dir):
     )
 
 
+# SQL twin of graph_build.build_edges output (fwd + rev edges with ids,
+# endpoint coords and UNROUNDED cost) over a way-sampled lineitem graph.
+# edge_id packing mirrors graph_build.MAX_SEGMENTS_PER_WAY:
+#   edge_id = way_id * 2^20 + seg * 2 + direction
+_EDGE_ID_MUL = 2 * graph_build.MAX_SEGMENTS_PER_WAY
+
+
+def _edges_full_sql(way_mod: int) -> str:
+    return f"""
+    wn AS ({GRAPH_WN_SQL} WHERE l_orderkey % {way_mod} = 0),
+    pts AS ({POINTS_SQL}),
+    ext AS (SELECT *, min(seq) OVER (PARTITION BY way_id) AS mn,
+                   max(seq) OVER (PARTITION BY way_id) AS mx FROM wn),
+    used AS (SELECT node_id, SUM(CASE WHEN seq = mn OR seq = mx THEN 2 ELSE 1 END) AS used
+             FROM ext GROUP BY node_id),
+    occ AS (SELECT e.way_id, e.seq, e.node_id, e.mn, e.mx, u.used, p.lat, p.lng
+            FROM ext e JOIN used u ON e.node_id = u.node_id
+            JOIN pts p ON e.node_id = p.point_id),
+    legs AS (SELECT way_id, seq, node_id, lat, lng,
+                    lead(node_id) OVER w AS nxt_node,
+                    lead(lat) OVER w AS nlat, lead(lng) OVER w AS nlng,
+                    SUM(CASE WHEN used > 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY way_id ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING) AS cuts_incl
+             FROM occ WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+    base AS (SELECT way_id, CAST(cuts_incl - 1 AS BIGINT) AS seg,
+           arg_min(node_id, seq) AS src_node,
+           arg_min(lat, seq) AS src_lat, arg_min(lng, seq) AS src_lng,
+           arg_max(nxt_node, seq) AS tgt_node,
+           arg_max(nlat, seq) AS tgt_lat, arg_max(nlng, seq) AS tgt_lng,
+           SUM({haversine_sql('lat', 'lng', 'nlat', 'nlng')}) AS cost
+           FROM legs WHERE nxt_node IS NOT NULL GROUP BY way_id, seg),
+    edges AS (
+      SELECT way_id * {_EDGE_ID_MUL} + seg * 2 AS edge_id, way_id, seg,
+             src_node, src_lat, src_lng, tgt_node, tgt_lat, tgt_lng, cost,
+             (way_id % 3 = 0) AS oneway
+      FROM base
+      UNION ALL
+      SELECT way_id * {_EDGE_ID_MUL} + seg * 2 + 1, way_id, seg,
+             tgt_node, tgt_lat, tgt_lng, src_node, src_lat, src_lng, cost,
+             FALSE
+      FROM base WHERE way_id % 3 <> 0)
+    """
+
+
+# J4-J6 unified self-join + F6 U-turn filter as a reusable CTE
+_CAND_SQL = """
+    cand AS (
+      SELECT a.edge_id AS src_edge_id, b.edge_id AS tgt_edge_id,
+             a.way_id AS from_way, b.way_id AS to_way,
+             a.tgt_node AS via_node, a.cost AS src_cost, b.cost AS tgt_cost
+      FROM edges a JOIN edges b ON a.tgt_node = b.src_node
+      WHERE NOT (a.src_lat = b.tgt_lat AND a.src_lng = b.tgt_lng
+                 AND a.tgt_lat = b.src_lat AND a.tgt_lng = b.src_lng))
+"""
+
+# restriction fixture derived from the graph itself (identically in Spark
+# and SQL): modular selection over post-U-turn adjacency triples covers
+# no_* (J9), only_* incl. natural conflict keys (J8), a dangling to-way
+# (J7 drop) and an invalid type (F4 drop).
+_TURNS_TAIL_SQL = """
+    rsel AS (SELECT DISTINCT from_way, via_node, to_way,
+                    (from_way * 3 + to_way * 5 + via_node) % 4 AS sel
+             FROM cand WHERE from_way % 50 = 0 AND to_way % 50 = 0),
+    restr AS (
+      SELECT from_way, via_node, to_way,
+             CAST((from_way + to_way) % 3 AS INT) AS type FROM rsel WHERE sel = 0
+      UNION ALL
+      SELECT from_way, via_node, to_way,
+             CAST(3 + (from_way + to_way) % 3 AS INT) FROM rsel WHERE sel = 1
+      UNION ALL
+      SELECT from_way, via_node, to_way + 1000000000000, 5 FROM rsel WHERE sel = 2
+      UNION ALL
+      SELECT from_way, via_node, to_way, -1 FROM rsel WHERE sel = 3),
+    valid AS (SELECT * FROM restr WHERE type >= 0),
+    no_rest AS (SELECT DISTINCT from_way, to_way FROM valid WHERE type IN (0, 1, 2)),
+    only_kept AS (SELECT r.* FROM valid r WHERE r.type IN (3, 4, 5)
+                  AND EXISTS (SELECT 1 FROM edges e WHERE e.way_id = r.to_way)),
+    only_agg AS (SELECT from_way, via_node, COUNT(DISTINCT to_way) AS n_to,
+                        MIN(to_way) AS only_to
+                 FROM only_kept GROUP BY from_way, via_node)
+    SELECT c.src_edge_id, c.tgt_edge_id, c.from_way, c.to_way, c.via_node,
+           ROUND((c.src_cost + c.tgt_cost) / 2, 6) AS cost
+    FROM cand c
+    LEFT JOIN only_agg o ON c.from_way = o.from_way AND c.via_node = o.via_node
+    WHERE (o.n_to IS NULL OR (o.n_to = 1 AND c.to_way = o.only_to))
+      AND NOT EXISTS (SELECT 1 FROM no_rest n
+                      WHERE n.from_way = c.from_way AND n.to_way = c.to_way)
+"""
+
+
+def _derived_restrictions(edges: DataFrame) -> DataFrame:
+    """Deterministic restriction table from the edge adjacency (Spark twin
+    of the ``rsel``/``restr`` CTEs above).
+
+    Derivation is restricted to the ``way_id % 50 == 0`` sub-sample on BOTH
+    sides, so the adjacency join here is ~1/25 the size of the main turn
+    join — restriction prep must not dominate the operator under test.
+    """
+    edges = edges.filter(F.col("way_id") % 50 == 0)
+    a = edges.select(
+        F.col("way_id").alias("from_way"),
+        F.col("tgt_node").alias("via_node"),
+        F.col("src_lat").alias("a_src_lat"), F.col("src_lng").alias("a_src_lng"),
+        F.col("tgt_lat").alias("a_tgt_lat"), F.col("tgt_lng").alias("a_tgt_lng"),
+    )
+    b = edges.select(
+        F.col("way_id").alias("to_way"),
+        F.col("src_node").alias("via_node"),
+        F.col("src_lat").alias("b_src_lat"), F.col("src_lng").alias("b_src_lng"),
+        F.col("tgt_lat").alias("b_tgt_lat"), F.col("tgt_lng").alias("b_tgt_lng"),
+    )
+    uturn = (
+        (F.col("a_src_lat") == F.col("b_tgt_lat"))
+        & (F.col("a_src_lng") == F.col("b_tgt_lng"))
+        & (F.col("a_tgt_lat") == F.col("b_src_lat"))
+        & (F.col("a_tgt_lng") == F.col("b_src_lng"))
+    )
+    triples = (
+        a.join(b, "via_node")
+        .filter(~uturn)
+        .select("from_way", "via_node", "to_way")
+        .distinct()
+        .withColumn(
+            "sel",
+            F.pmod(
+                F.col("from_way") * 3 + F.col("to_way") * 5 + F.col("via_node"),
+                F.lit(4),
+            ),
+        )
+    )
+    t3 = F.pmod(F.col("from_way") + F.col("to_way"), F.lit(3))
+    no = triples.filter(F.col("sel") == 0).select(
+        "from_way", "via_node", "to_way", t3.cast("int").alias("type")
+    )
+    only = triples.filter(F.col("sel") == 1).select(
+        "from_way", "via_node", "to_way", (F.lit(3) + t3).cast("int").alias("type")
+    )
+    dangling = triples.filter(F.col("sel") == 2).select(
+        "from_way", "via_node",
+        (F.col("to_way") + F.lit(10**12)).alias("to_way"),
+        F.lit(5).cast("int").alias("type"),
+    )
+    invalid = triples.filter(F.col("sel") == 3).select(
+        "from_way", "via_node", "to_way", F.lit(-1).cast("int").alias("type")
+    )
+    return no.unionByName(only).unionByName(dangling).unionByName(invalid)
+
+
 # --------------------------- spatial ops -----------------------------------
 
 _RES_XY = 6  # 64×64 xy grid for SQL-checkable cell ids
@@ -841,20 +990,98 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, max_hamming=12)
 
 
-@_register("gb_export")  # rows-only: LINESTRING text assembly not in SQL scope
-def gb_export(spark, sf_dir):
-    """J10 + W4 + S6: expanded edges joined to geometry, LINESTRING rows
-    (reference csv/generate.hpp) over the derived graph sample."""
-    from navgraph_osm_spark.operators.export import export_rows
+# W4 polyline midpoint (point at half the Euclidean length, reference
+# geomath.cpp:77-97) re-expressed with SQL window functions: per (way, seg)
+# leg lengths → running offsets → pick the LAST leg whose start offset ≤
+# half (numpy searchsorted-right semantics) → linear interpolation.
+_MIDPOINT_SQL = f"""
+    elegs AS (
+      SELECT way_id, CAST(cuts_incl - 1 AS BIGINT) AS seg, seq, lat, lng,
+             nlat, nlng,
+             sqrt(pow(nlat - lat, 2) + pow(nlng - lng, 2)) AS elen
+      FROM legs WHERE nxt_node IS NOT NULL),
+    ecum AS (
+      SELECT *,
+             SUM(elen) OVER (PARTITION BY way_id, seg ORDER BY seq
+                             ROWS UNBOUNDED PRECEDING) - elen AS cum0,
+             SUM(elen) OVER (PARTITION BY way_id, seg) / 2.0 AS half
+      FROM elegs),
+    mids AS (
+      SELECT way_id, seg,
+        arg_max(lat + CASE WHEN elen > 0 THEN (half - cum0) / elen ELSE 0 END
+                * (nlat - lat), seq) FILTER (WHERE cum0 <= half) AS mid_lat,
+        arg_max(lng + CASE WHEN elen > 0 THEN (half - cum0) / elen ELSE 0 END
+                * (nlng - lng), seq) FILTER (WHERE cum0 <= half) AS mid_lng
+      FROM ecum GROUP BY way_id, seg)
+"""
 
+
+def _export_edges(spark, sf_dir):
     t = graph_tables(spark, sf_dir)
     wn = t["way_nodes"].filter(F.col("way_id") % 20 == 0)
     ways = t["ways"].filter(F.col("id") % 20 == 0)
     edges = graph_build.build_edges(t["nodes"], ways, wn, res=6)
+    # export fans the edge relation into 6+ consumers (halves kernel, src/tgt
+    # struct joins, the turn join's two sides, J7); checkpoint it once — the
+    # Spark analogue of the reference writing edge files before export
+    # (reference main.cpp:587-708 → csv/generate.hpp)
+    edges = edges.localCheckpoint(eager=True)
     restrictions = spark.createDataFrame(
         [], "id long, from_way long, via_node long, to_way long, type int"
     )
-    turns = turn_expand.expand_turns(edges, restrictions)
+    return edges, turn_expand.expand_turns(edges, restrictions)
+
+
+@_register(
+    "gb_export",
+    f"""
+    WITH {_edges_full_sql(20)}, {_CAND_SQL.strip()}, {_MIDPOINT_SQL.strip()}
+    SELECT ROUND((c.src_cost + c.tgt_cost) / 2, 6) AS weight,
+           CAST(c.from_way % 3 = 0 AS INT) AS was_one_way,
+           c.from_way AS osm_way_from, c.to_way AS osm_way_to,
+           es.src_node AS from_source_node, es.tgt_node AS from_target_node,
+           et.src_node AS to_source_node, et.tgt_node AS to_target_node,
+           ROUND(ms.mid_lat, 6) AS src_mid_lat, ROUND(ms.mid_lng, 6) AS src_mid_lng,
+           ROUND(mt.mid_lat, 6) AS tgt_mid_lat, ROUND(mt.mid_lng, 6) AS tgt_mid_lng
+    FROM cand c
+    JOIN edges es ON es.edge_id = c.src_edge_id
+    JOIN edges et ON et.edge_id = c.tgt_edge_id
+    JOIN mids ms ON ms.way_id = c.from_way
+                AND ms.seg = (c.src_edge_id % {_EDGE_ID_MUL}) // 2
+    JOIN mids mt ON mt.way_id = c.to_way
+                AND mt.seg = (c.tgt_edge_id % {_EDGE_ID_MUL}) // 2
+    """,
+)
+def gb_export(spark, sf_dir):
+    """J10 + W4 + S6 numerics, fully oracled: expanded edges joined back to
+    edge structs (reference csv/generate.hpp:129-214) with the Euclidean
+    polyline midpoints of both half-geometries as numeric columns."""
+    from navgraph_osm_spark.operators.export import export_rows
+
+    edges, turns = _export_edges(spark, sf_dir)
+    return export_rows(edges, turns).select(
+        F.round("weight", 6).alias("weight"),
+        "was_one_way",
+        "osm_way_from",
+        "osm_way_to",
+        "from_source_node",
+        "from_target_node",
+        "to_source_node",
+        "to_target_node",
+        F.round("src_mid_lat", 6).alias("src_mid_lat"),
+        F.round("src_mid_lng", 6).alias("src_mid_lng"),
+        F.round("tgt_mid_lat", 6).alias("tgt_mid_lat"),
+        F.round("tgt_mid_lng", 6).alias("tgt_mid_lng"),
+    )
+
+
+@_register("gb_export_wkt")  # rows-only: LINESTRING text assembly not in SQL scope
+def gb_export_wkt(spark, sf_dir):
+    """S6 string assembly: the reference-shaped LINESTRING CSV rows
+    (reference csv/generate.hpp:238-263) over the same export sample."""
+    from navgraph_osm_spark.operators.export import export_rows
+
+    edges, turns = _export_edges(spark, sf_dir)
     return export_rows(edges, turns).select(
         F.round("weight", 6).alias("weight"),
         "geom",
@@ -939,19 +1166,31 @@ def skew_adaptive_split(spark, sf_dir):
     return cell_histogram(split, "part_cell").orderBy("part_cell")
 
 
-# --------------------------- turn expansion (rows-only) --------------------
+# --------------------------- turn expansion --------------------------------
 
-@_register("gb_turns")  # rows-only: multi-stage pipeline, checked by pytest oracle
+
+
+@_register(
+    "gb_turns",
+    f"WITH {_edges_full_sql(10)}, {_CAND_SQL.strip()}, {_TURNS_TAIL_SQL.lstrip()}",
+)
 def gb_turns(spark, sf_dir):
+    """J4-J9 + F6 with a NON-EMPTY derived restriction set, fully oracled:
+    the SQL reproduces edge build, the unified via-node self-join, the U-turn
+    filter, and the only_*/no_* logic (reference invert.hpp:13-114)."""
     t = graph_tables(spark, sf_dir)
     # 10% way sample: full lineitem-derived graph is near-complete on shared
     # nodes, which quadratically inflates the turn count without adding signal
     wn = t["way_nodes"].filter(F.col("way_id") % 10 == 0)
     ways = t["ways"].filter(F.col("id") % 10 == 0)
     edges = graph_build.build_edges(t["nodes"], ways, wn, res=6)
-    restrictions = spark.createDataFrame(
-        [], "id long, from_way long, via_node long, to_way long, type int"
-    )
+    # the turn join (a/b sides), J7's way set, and the restriction derivation
+    # all fan out from the edge relation — checkpoint the slim projection once
+    edges = edges.select(
+        "edge_id", "way_id", "cost", "src_node", "tgt_node",
+        "src_cell", "tgt_cell", "src_lat", "src_lng", "tgt_lat", "tgt_lng",
+    ).localCheckpoint(eager=True)
+    restrictions = _derived_restrictions(edges)
     return turn_expand.expand_turns(edges, restrictions).select(
         "src_edge_id", "tgt_edge_id", "from_way", "to_way", "via_node",
         F.round("cost", 6).alias("cost"),

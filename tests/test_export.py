@@ -30,6 +30,7 @@ def test_export_shape_and_counts(graph):
     assert out.columns == [
         "weight", "geom", "was_one_way", "osm_way_from", "osm_way_to",
         "from_source_node", "from_target_node", "to_source_node", "to_target_node",
+        "src_mid_lat", "src_mid_lng", "tgt_mid_lat", "tgt_mid_lng",
     ]
     rows = out.collect()
     assert len(rows) == turns.count()
