@@ -59,31 +59,97 @@ def _shingle_array_expr(text: F.Column, n: int = 3) -> F.Column:
     )
 
 
+def _band_rows_for_threshold(
+    threshold: float, num_hashes: int, miss_target: float = 1e-6
+) -> int:
+    """Largest rows-per-band r such that a pair at exactly ``threshold``
+    Jaccard collides in ≥1 of the num_hashes//r bands with probability
+    ≥ 1 - miss_target (the standard (1-s^r)^b LSH recall curve)."""
+    for r in (4, 3, 2, 1):
+        b = num_hashes // r
+        if (1.0 - threshold**r) ** b <= miss_target:
+            return r
+    return 1
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
-    block_col: str | None = "lang",
+    block_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked pairs (id_a < id_b).
 
     Jaccard is |A∩B| / |A∪B| on distinct char n-grams — array_intersect /
-    array_union, fully JVM-side.  Blocking (default: same ``lang``) bounds
-    the pair count; at scale swap in a MinHash band as the block key.
+    array_union, fully JVM-side.
+
+    Blocking (the scale knob): by DEFAULT candidate pairs come from
+    MinHash-band buckets, with rows-per-band sized from ``threshold`` so a
+    qualifying pair misses every band with probability ≤ 1e-6 — no
+    corpus-wide attribute ever forms a quadratic block.  Passing
+    ``block_col`` (e.g. ``lang``) switches to attribute blocking with exact
+    within-block semantics; at corpus scale one language block is nearly the
+    whole corpus (O(n²) pairs), so the band default is the production path.
     """
     base = docs.select(
-        F.col(id_col), F.col(block_col).alias("block") if block_col else F.lit(1).alias("block"),
-        _shingle_array_expr(F.col(text_col), n).alias("grams"),
+        F.col(id_col), _shingle_array_expr(F.col(text_col), n).alias("grams")
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"), "block", F.col("grams").alias("grams_a")
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"), "block", F.col("grams").alias("grams_b")
-    )
-    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    if block_col is not None:
+        blocked = docs.select(F.col(id_col), F.col(block_col).alias("block")).join(
+            base, id_col
+        )
+        a = blocked.select(
+            F.col(id_col).alias("id_a"), "block", F.col("grams").alias("grams_a")
+        )
+        b = blocked.select(
+            F.col(id_col).alias("id_b"), "block", F.col("grams").alias("grams_b")
+        )
+        pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        rows_per_band = _band_rows_for_threshold(threshold, num_hashes)
+        bands = num_hashes // rows_per_band
+        sigs = with_minhash(
+            docs, num_hashes, n=n, seed=seed, id_col=id_col, text_col=text_col
+        ).select(F.col(id_col), F.col(_SIG_FIELD)).join(base, id_col)
+        banded = sigs.select(
+            id_col,
+            "grams",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col(_SIG_FIELD),
+                                bi * rows_per_band + 1,
+                                rows_per_band,
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(
+            id_col, "grams",
+            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        )
+        a = banded.select(
+            F.col(id_col).alias("id_a"), "band", "bucket",
+            F.col("grams").alias("grams_a"),
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), "band", "bucket",
+            F.col("grams").alias("grams_b"),
+        )
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     jac = (
         F.size(F.array_intersect("grams_a", "grams_b"))
         / F.size(F.array_union("grams_a", "grams_b"))
@@ -244,6 +310,7 @@ def cluster_pairs(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -267,11 +334,16 @@ def cluster_pairs(
             "label",
         )
         # localCheckpoint (eager) truncates lineage — iterative DataFrame
-        # plans otherwise grow exponentially across rounds
+        # plans otherwise grow exponentially across rounds.  The convergence
+        # check is ONE count on the materialized frame (no extra isEmpty
+        # job), and the prior round's checkpoint is unpersisted so executor
+        # storage stays bounded by a single round, not rounds × labels.
         merged = merged.localCheckpoint(eager=True)
-        converged = merged.filter(F.col("new_label") != F.col("label")).isEmpty()
+        changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        prev_ckpt.unpersist()
+        prev_ckpt = merged
         labels = merged.select("node", F.col("new_label").alias("label"))
-        if converged:
+        if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -36,10 +36,30 @@ MAX_SEGMENTS_PER_WAY = 1 << 19  # edge-id packing bound (OSM max nodes/way = 200
 
 
 def filter_ways(ways: DataFrame) -> DataFrame:
-    """F1 highway allowlist + F2 oneway predicate → (way_id, oneway:boolean)."""
+    """F1 highway allowlist + F2 oneway predicate → (way_id, oneway:boolean).
+
+    Accepts either flat ``highway``/``oneway`` columns or an OSM-shaped
+    ``tags`` map column (the reference reads the string-table tag map,
+    worker.hpp:94-121) — the map path dispatches to :func:`filter_ways_tags`.
+    """
+    if "tags" in ways.columns:
+        return filter_ways_tags(ways)
     return ways.filter(F.col("highway").isin(HIGHWAY_ALLOWED)).select(
         F.col("id").alias("way_id"),
-        F.col("oneway").isin("yes", "1").alias("oneway"),
+        F.coalesce(F.col("oneway").isin("yes", "1"), F.lit(False)).alias("oneway"),
+    )
+
+
+def filter_ways_tags(ways: DataFrame, tags: str = "tags") -> DataFrame:
+    """F1/F2 over a ``tags: map<string,string>`` column (reference
+    worker.hpp:94-106 highway allowlist, :110-122 oneway ∈ {yes, 1})."""
+    hw = F.try_element_at(F.col(tags), F.lit("highway"))
+    ow = F.try_element_at(F.col(tags), F.lit("oneway"))
+    return ways.filter(hw.isin(HIGHWAY_ALLOWED)).select(
+        F.col("id").alias("way_id"),
+        # a missing oneway tag means two-way (reference worker.hpp:110-122
+        # defaults isOneWay to false)
+        F.coalesce(ow.isin("yes", "1"), F.lit(False)).alias("oneway"),
     )
 
 

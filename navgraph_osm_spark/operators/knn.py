@@ -98,37 +98,67 @@ def knn_join_adaptive(
 
     Guarantee: a result set is provably complete when the k-th neighbor
     distance is ≤ the minimum distance to any cell outside the disk; we use
-    the conservative bound ring * (min cell extent in km at the equator…
-    clamped by latitude), so escalation may over-trigger but never misses.
+    the conservative bound ring * min(lat extent, lng extent), with the lng
+    extent's cos term evaluated at the most POLEWARD latitude reachable in
+    the disk (uncovered cells extend up to ring+1 cells poleward, where
+    cells narrow) — escalation may over-trigger but never misses.
+
+    Round state is eagerly localCheckpoint'ed (and the prior round's
+    checkpoint unpersisted) so lineage stays flat and the per-round
+    completion check is a count on materialized data, not a fresh job.
     """
-    remaining = queries.select(query_id, "lat", "lng")
+    remaining = queries.select(query_id, "lat", "lng").localCheckpoint(eager=True)
+    n_remaining = remaining.count()
     done_parts: list[DataFrame] = []
+    prev_ckpt: DataFrame | None = None
     cur_ring = ring
+    lat_extent_deg = 180.0 / (1 << res)
+    lat_extent_km = lat_extent_deg * (math.pi / 180.0) * EARTH_RADIUS_KM
     for _ in range(max_rounds):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         got = knn_join(points, remaining, k, res, cur_ring, point_id, query_id)
-        # conservative guaranteed-coverage radius for each query's latitude:
-        # ring full rows of cells are always within ring * lat_extent;
-        # longitude extent shrinks with cos(lat), so use the lat extent only
-        # when it is the binding dimension — bound by min of both.
-        lat_extent_km = 180.0 / (1 << res) * (math.pi / 180.0) * EARTH_RADIUS_KM
+        # conservative guaranteed-coverage radius per query: ring rows of
+        # cells are always within ring * lat_extent; the longitude extent
+        # shrinks with cos(lat) and an uncovered cell can sit up to
+        # (ring+1) cells POLEWARD of the query, so evaluate the cos term at
+        # the most poleward latitude reachable in the disk (clamped at the
+        # pole → 0, never marking high-latitude queries complete via the
+        # width term).
+        poleward_lat = F.least(
+            F.lit(90.0),
+            F.abs(F.col("lat")) + F.lit((cur_ring + 1.0) * lat_extent_deg),
+        )
         cov = got.join(remaining, query_id).groupBy(query_id).agg(
             F.count("*").alias("n_got"),
             F.max("dist_km").alias("kth_dist"),
             F.first(
                 F.lit(float(cur_ring) * 0.99)  # small-angle safety margin
                 * F.lit(lat_extent_km)
-                * F.least(F.lit(1.0), F.cos(F.radians(F.col("lat"))) * 2.0)
+                * F.least(
+                    F.lit(1.0),
+                    F.greatest(F.cos(F.radians(poleward_lat)), F.lit(0.0)) * 2.0,
+                )
             ).alias("safe_radius"),
         )
         complete = cov.filter(
             (F.col("n_got") >= k) & (F.col("kth_dist") <= F.col("safe_radius"))
         ).select(query_id)
-        done_parts.append(got.join(complete, query_id, "left_semi"))
-        remaining = remaining.join(complete, query_id, "left_anti")
+        done_parts.append(
+            got.join(complete, query_id, "left_semi").localCheckpoint(eager=True)
+        )
+        # one eager checkpoint per round: truncates the growing anti-join
+        # lineage AND replaces the per-round isEmpty job (count on the
+        # checkpointed frame is the materializing action)
+        new_remaining = remaining.join(complete, query_id, "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_remaining = new_remaining.count()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt, remaining = remaining, new_remaining
         cur_ring *= growth
-    if not remaining.isEmpty():
+    if n_remaining > 0:
         done_parts.append(knn_join_bruteforce(points, remaining, k, point_id, query_id))
     out = done_parts[0]
     for p in done_parts[1:]:

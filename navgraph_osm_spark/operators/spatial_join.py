@@ -72,6 +72,38 @@ def covering_cells(df: DataFrame, res: int, fp: str = "footprint",
     return df
 
 
+PER_CELL_STATS_SCHEMA = "cell long, n_rows long, avg_lat double, avg_lng double"
+
+
+def per_cell_stats_grouped(points_with_cell: DataFrame) -> DataFrame:
+    """Per-cell stats via ``groupBy(cell).applyInPandas`` — the grouped-map
+    UDF surface (SURVEY §2.9), the Spark analogue of the reference's
+    per-pixel ``tbb::parallel_for_each`` (reference main.cpp:926): one
+    pandas kernel invocation per cell, each receiving that cell's full rows.
+
+    For THIS reduction the production path is the built-in ``groupBy.agg``
+    (codegen'd, map-side partial); the grouped map exists for per-cell
+    kernels Spark can't express — custom geometry passes, per-cell model
+    fits — and this entry keeps the surface exercised and oracled.  Skew
+    note: one fat city-core cell = one big pandas batch; pair with
+    operators.skew.adaptive_cell_split at scale.
+    """
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cell": [pdf["cell"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "avg_lat": [pdf["lat"].mean()],
+                "avg_lng": [pdf["lng"].mean()],
+            }
+        )
+
+    return points_with_cell.select("cell", "lat", "lng").groupBy("cell").applyInPandas(
+        _stats, schema=PER_CELL_STATS_SCHEMA
+    )
+
+
 def tile_assignment(images: DataFrame, res: int) -> DataFrame:
     """image_id → covering tile cells of its footprint (sorted, distinct)."""
     return (

@@ -119,6 +119,12 @@ def expand_turns(
     # J8: only_* — if a restriction matches (from_way, via_node), keep only the
     # turn onto its to-way; conflicting restrictions (distinct to-ways) kill
     # every turn at that key (reference invert.hpp:27-84).
+    # DELIBERATE DIVERGENCE from invert.hpp:51-56 (std::find_if): when the
+    # mandated to-way is bidirectional through the via node the reference
+    # emits only the FIRST matching outgoing edge (file-order dependent);
+    # here every edge of the mandated to-way is kept — set semantics, which
+    # the north_rule's count/set equivalence accepts and which has no
+    # file-order nondeterminism at scale.
     turns = turns.join(F.broadcast(only_agg), ["from_way", "via_node"], "left").filter(
         F.col("n_to").isNull()
         | ((F.col("n_to") == 1) & (F.col("to_way") == F.col("only_to_way")))

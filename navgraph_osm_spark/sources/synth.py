@@ -318,20 +318,70 @@ def gen_road_grid(
     ways = spark.createDataFrame(way_rows, "id long, highway string, oneway string")
     way_nodes = spark.createDataFrame(wn_rows, "way_id long, seq int, node_id long")
 
-    # restrictions: types 0-2 = no_*, 3-5 = only_* (reference worker.hpp:287-302)
+    # ways with an OSM-shaped tags map (the reference's string-table tag
+    # view, worker.hpp:94-121) — semantically identical to the flat columns
+    tag_rows = [
+        (wid, {k: v for k, v in (("highway", hw), ("oneway", ow)) if v is not None})
+        for wid, hw, ow in way_rows
+    ]
+    ways_tags = spark.createDataFrame(tag_rows, "id long, tags map<string,string>")
+
+    # restrictions are born RAW (per-member rows + relation tags, reference
+    # worker.hpp:223-307) and pivoted by the F3 operator; type strings map to
+    # codes 0-2 = no_*, 3-5 = only_* (worker.hpp:287-302)
     h0, v0 = 1000, 1000 + rows  # first horizontal / vertical way ids
     restr = [
-        (1, h0 + 2, 2 * cols + 2, v0 + 2, 0),        # no_* at center crossing
-        (2, h0 + 1, 1 * cols + 1, v0 + 1, 3),        # only_* at (1,1)
-        (3, h0 + 1, 1 * cols + 3, v0 + 3, 4),        # only_* elsewhere
-        (4, h0 + 3, 3 * cols + 1, 99999, 5),         # only_* to dangling way (J7 drop)
-        (5, h0 + 4, 4 * cols + 2, v0 + 2, 3),        # only_* conflict pair a
-        (6, h0 + 4, 4 * cols + 2, v0 + 3, 4),        # only_* conflict pair b (different to)
+        (1, h0 + 2, 2 * cols + 2, v0 + 2, "no_right_turn"),   # no_* center crossing
+        (2, h0 + 1, 1 * cols + 1, v0 + 1, "only_left_turn"),  # only_* at (1,1)
+        (3, h0 + 1, 1 * cols + 3, v0 + 3, "only_right_turn"), # only_* elsewhere
+        (4, h0 + 3, 3 * cols + 1, 99999, "only_straight_on"), # dangling to-way (J7 drop)
+        (5, h0 + 4, 4 * cols + 2, v0 + 2, "only_left_turn"),  # only_* conflict pair a
+        (6, h0 + 4, 4 * cols + 2, v0 + 3, "only_right_turn"), # conflict pair b (different to)
     ]
-    restrictions = spark.createDataFrame(
-        restr, "id long, from_way long, via_node long, to_way long, type int"
+    member_rows = []
+    tag_rel_rows = []
+    for rid, fr, via, to, rtype in restr:
+        member_rows += [
+            (rid, 0, "way", "from", fr),
+            (rid, 1, "node", "via", via),
+            (rid, 2, "way", "to", to),
+        ]
+        tag_rel_rows.append((rid, {"restriction": rtype, "type": "restriction"}))
+    # invalid raw relations the F3 operator must drop:
+    member_rows += [
+        (90, 0, "way", "from", h0), (90, 1, "node", "via", 1), (90, 2, "way", "to", v0),
+        (91, 0, "way", "from", h0), (91, 1, "node", "via", 1), (91, 2, "way", "to", v0),
+        (91, 3, "node", "via", 2),                         # 4 members
+        (92, 0, "way", "from", h0), (92, 1, "way", "via", 1), (92, 2, "way", "to", v0),
+        (93, 0, "way", "from", h0), (93, 1, "node", "via", 1), (93, 2, "way", "to", v0),
+        (94, 0, "way", "from", h0), (94, 1, "node", "via", 1),  # missing to
+    ]
+    tag_rel_rows += [
+        (90, {"type": "route"}),                           # no restriction tag
+        (91, {"restriction": "no_left_turn"}),
+        (92, {"restriction": "no_left_turn"}),             # via has WAY member type
+        (93, {"restriction": "no_u_turn"}),                # type outside the 6-type table
+        (94, {"restriction": "no_left_turn"}),
+    ]
+    relation_members = spark.createDataFrame(
+        member_rows,
+        "rel_id long, seq int, member_type string, role string, member_id long",
     )
-    return {"nodes": nodes, "ways": ways, "way_nodes": way_nodes, "restrictions": restrictions}
+    relation_tags = spark.createDataFrame(
+        tag_rel_rows, "rel_id long, tags map<string,string>"
+    )
+    from navgraph_osm_spark.operators.relations import pivot_restrictions
+
+    restrictions = pivot_restrictions(relation_members, relation_tags)
+    return {
+        "nodes": nodes,
+        "ways": ways,
+        "ways_tags": ways_tags,
+        "way_nodes": way_nodes,
+        "relation_members": relation_members,
+        "relation_tags": relation_tags,
+        "restrictions": restrictions,
+    }
 
 
 def derived_points_from_part(part: DataFrame) -> DataFrame:

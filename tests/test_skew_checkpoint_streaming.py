@@ -85,6 +85,46 @@ def test_stage_runner_resume(spark, tmp_path):
     assert calls == {"a": 2, "b": 2}
 
 
+def test_stage_runner_upstream_recompute_propagates(spark, tmp_path):
+    """If an upstream stage is re-executed (invalid output), every downstream
+    stage must re-execute too — even when its own output still validates —
+    so resumed runs never serve results computed from stale inputs."""
+    wh = str(tmp_path / "wh2")
+    os.makedirs(wh, exist_ok=True)
+    calls = {"a": 0, "b": 0, "c": 0}
+    size = {"n": 100}
+
+    def make_runner():
+        runner = StageRunner(spark, wh)
+
+        def stage_a(deps):
+            calls["a"] += 1
+            return spark.range(size["n"]).withColumn("k", F.pmod("id", F.lit(4)))
+
+        def stage_b(deps):
+            calls["b"] += 1
+            return deps["a"].groupBy("k").agg(F.count("*").alias("n"))
+
+        def stage_c(deps):
+            calls["c"] += 1
+            return deps["b"].agg(F.sum("n").alias("total"))
+
+        runner.stage("a", stage_a)
+        runner.stage("b", stage_b, inputs=["a"])
+        runner.stage("c", stage_c, inputs=["b"])
+        return runner
+
+    make_runner().run(resume=True)
+    assert calls == {"a": 1, "b": 1, "c": 1}
+    # invalidate a (lineage gone) and change its data; b/c outputs still
+    # validate in isolation but must be rebuilt from the new a
+    os.remove(os.path.join(wh, "a._lineage.json"))
+    size["n"] = 200
+    r = make_runner().run(resume=True)
+    assert calls == {"a": 2, "b": 2, "c": 2}
+    assert r["c"].first()["total"] == 200
+
+
 @pytest.fixture(scope="module")
 def events_dir(tmp_path_factory):
     # the streaming file source requires a directory, not a single file
