@@ -97,10 +97,27 @@ def flagship_job(spark, n_images: int, res_pip: int = 8, res_tile: int = 6) -> d
     return out
 
 
+def _warmup(spark, cpus: int) -> None:
+    """Pay JVM codegen-compile + python worker fork/numpy-import once, before
+    any timed query — the steady-state cost is the query, not startup."""
+    import pandas as pd
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        import numpy as np  # noqa: F401
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(_noop, "id long").count()
+
+
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import navgraph_osm_spark.queries as Q
 
     spark = _spark(cpus)
+    _warmup(spark, cpus)
     names = [
         "sp_pip_join",
         "sp_tile_assignment",
@@ -145,20 +162,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
 
 def run_job_once(cpus: int, n_images: int) -> dict:
-    import pandas as pd
-
     spark = _spark(cpus)
-    # warm the JVM/codegen paths AND the python workers (fork + numpy import)
-    # so the measurement is the job, not process startup
-    spark.range(1000).selectExpr("sum(id)").collect()
-
-    def _noop(batches):
-        import numpy as np  # noqa: F401  (pay the import cost here)
-
-        for pdf in batches:
-            yield pd.DataFrame({"id": pdf["id"]})
-
-    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(_noop, "id long").count()
+    _warmup(spark, cpus)
     t0 = time.time()
     counts = flagship_job(spark, n_images)
     elapsed = time.time() - t0

@@ -115,6 +115,11 @@ def ngram_jaccard_pairs(
         sigs = with_minhash(
             docs, num_hashes, n=n, seed=seed, id_col=id_col, text_col=text_col
         ).select(F.col(id_col), F.col(_SIG_FIELD)).join(base, id_col)
+        # both sides of the bucket self-join consume the signature relation;
+        # checkpoint it so the Arrow signature UDF runs ONCE (at warehouse
+        # scale, write the signature table to storage instead — the
+        # reference's stage-file pattern)
+        sigs = sigs.localCheckpoint(eager=True)
         banded = sigs.select(
             id_col,
             "grams",
@@ -199,7 +204,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = with_minhash(docs, num_hashes, seed=seed, id_col=id_col, text_col=text_col).select(
         F.col(id_col), F.col(_SIG_FIELD)
-    )
+    ).localCheckpoint(eager=True)  # signature UDF runs once, not per join side
     banded = sigs.select(
         id_col,
         _SIG_FIELD,
@@ -258,7 +263,9 @@ def simhash_pairs(
     def _sim(texts: pd.Series) -> pd.Series:
         return pd.Series(simhash64(texts))
 
-    hashed = docs.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+    hashed = docs.select(
+        F.col(id_col), _sim(F.col(text_col)).alias("simhash")
+    ).localCheckpoint(eager=True)  # hash UDF runs once, not per join side
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),

@@ -171,52 +171,59 @@ BROADCAST_POLY_LIMIT = 200_000
 BROADCAST_VERTEX_LIMIT = 5_000_000  # ≈80 MB of float64 lat/lng pairs
 
 
-def _ring_expr(fp_col):
-    """Footprint array with an explicit closing vertex (first == last) removed."""
-    first, last = F.element_at(fp_col, 1), F.element_at(fp_col, -1)
-    closed = (
-        (F.size(fp_col) > 1)
-        & (first["lat"] == last["lat"])
-        & (first["lng"] == last["lng"])
-    )
-    return F.when(closed, F.slice(fp_col, 1, F.size(fp_col) - 1)).otherwise(fp_col)
-
-
-def _is_axis_rect_expr(ring, lat_min, lat_max, lng_min, lng_max):
-    """True iff the ring is exactly its bounding box (axis-aligned rectangle
-    traversed in perimeter order).  For such footprints the even-odd interior
-    equals the half-open bbox, so the exact refinement can be decided in
-    codegen — the raster↔vector tiling case (rectangular image footprints)
-    then never touches Python.
+def _is_axis_rect_expr(fp_col, lat_min, lat_max, lng_min, lng_max):
+    """True iff the footprint is exactly its bounding box (axis-aligned
+    rectangle traversed in perimeter order, optionally explicitly closed
+    with a 5th vertex == the 1st).  For such footprints the even-odd
+    interior equals the half-open bbox, so the exact refinement can be
+    decided in codegen — the raster↔vector tiling case (rectangular image
+    footprints) then never touches Python.
 
     Conditions: 4 distinct vertices, every vertex on a bbox corner,
     consecutive vertices (cyclically) differ in exactly one coordinate
     (excludes bowtie orders, whose even-odd interior is not the box),
     non-degenerate bbox.
+
+    Deliberately written as ~60 SCALAR comparisons over try_element_at
+    lookups — no higher-order array functions — so the whole-stage codegen
+    for the candidate stage compiles in milliseconds (an earlier
+    forall/zip_with/array_distinct formulation added ~10s of plan-compile
+    per session).
     """
-    on_corner = F.forall(
-        ring,
-        lambda p: ((p["lat"] == lat_min) | (p["lat"] == lat_max))
-        & ((p["lng"] == lng_min) | (p["lng"] == lng_max)),
+    n = F.size(fp_col)
+    p = [F.try_element_at(fp_col, F.lit(i)) for i in (1, 2, 3, 4, 5)]
+    closed5 = (
+        (n == 5) & (p[0]["lat"] == p[4]["lat"]) & (p[0]["lng"] == p[4]["lng"])
     )
-    nxt = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
-    steps_ok = F.forall(
-        F.zip_with(
-            ring,
-            nxt,
-            lambda a, b: (a["lat"] == b["lat"]).cast("int")
-            + (a["lng"] == b["lng"]).cast("int")
-            == 1,
-        ),
-        lambda v: v,
-    )
-    return (
-        (F.size(ring) == 4)
-        & (F.size(F.array_distinct(ring)) == 4)
+    size_ok = (n == 4) | closed5
+    quad = p[:4]
+    on_corner = None
+    for v in quad:
+        c = ((v["lat"] == lat_min) | (v["lat"] == lat_max)) & (
+            (v["lng"] == lng_min) | (v["lng"] == lng_max)
+        )
+        on_corner = c if on_corner is None else on_corner & c
+    steps_ok = None
+    for a, b in zip(quad, quad[1:] + quad[:1]):
+        one_coord = (
+            (a["lat"] == b["lat"]).cast("int") + (a["lng"] == b["lng"]).cast("int")
+        ) == 1
+        steps_ok = one_coord if steps_ok is None else steps_ok & one_coord
+    distinct_ok = None
+    for i in range(4):
+        for j in range(i + 1, 4):
+            ne = (quad[i]["lat"] != quad[j]["lat"]) | (
+                quad[i]["lng"] != quad[j]["lng"]
+            )
+            distinct_ok = ne if distinct_ok is None else distinct_ok & ne
+    return F.coalesce(
+        size_ok
         & on_corner
         & steps_ok
+        & distinct_ok
         & (lat_min < lat_max)
-        & (lng_min < lng_max)
+        & (lng_min < lng_max),
+        F.lit(False),
     )
 
 
@@ -260,6 +267,15 @@ def point_in_polygon_join(
     sc = points.sparkSession.sparkContext
     pts = assign_cells(points.select(point_id, lat, lng), res, lat, lng)
     polys = covering_cells(polygons.select(poly_id, fp), res, fp, keep_bbox=True)
+    # rect detection evaluated on the (small) polygon-cell side, not per
+    # candidate pair
+    polys = polys.withColumn(
+        "__rect",
+        _is_axis_rect_expr(
+            F.col(fp), F.col("lat_min"), F.col("lat_max"),
+            F.col("lng_min"), F.col("lng_max"),
+        ),
+    )
 
     cand = pts.join(polys, "cell").filter(
         (F.col(lat) >= F.col("lat_min"))
@@ -269,15 +285,6 @@ def point_in_polygon_join(
     )
     if not exact:
         return cand.select(point_id, poly_id)
-
-    ring = _ring_expr(F.col(fp))
-    cand = cand.withColumn(
-        "__rect",
-        _is_axis_rect_expr(
-            ring, F.col("lat_min"), F.col("lat_max"),
-            F.col("lng_min"), F.col("lng_max"),
-        ),
-    )
     rect_hits = cand.filter(F.col("__rect")).select(point_id, poly_id)
     rest = cand.filter(~F.col("__rect"))
 

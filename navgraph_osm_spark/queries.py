@@ -957,7 +957,11 @@ def sp_knn_adaptive(spark, sf_dir):
     q = pts.filter(F.col("point_id") <= 40).select(
         F.col("point_id").alias("query_id"), "lat", "lng"
     )
-    out = knn_ops.knn_join_adaptive(pts, q, k=5, res=6, ring=2, max_rounds=3)
+    # 2 rounds: one escalation (3 -> 9) then exact brute-force fallback — the
+    # poleward-correct completeness bound (knn.py) routes high-latitude
+    # queries to the fallback regardless, so a third ring round only burns a
+    # 37x37 disk join on queries that cannot certify
+    out = knn_ops.knn_join_adaptive(pts, q, k=5, res=6, ring=3, max_rounds=2)
     return out.select(
         "query_id", "point_id", F.round("dist_km", 6).alias("dist_km"), "rank"
     )
