@@ -890,6 +890,44 @@ def s3_delta_decode(spark, sf_dir):
 
 
 @_register(
+    "s1_framed_scan",
+    f"""
+    WITH pts AS ({POINTS_SQL})
+    SELECT point_id, ROUND(lat, 6) AS lat, ROUND(lng, 6) AS lng FROM pts
+    """,
+)
+def s1_framed_scan(spark, sf_dir):
+    """S1/S2 literal: the derived point table is written as an NGF1
+    framed-blob file (zlib blocks, delta-encoded ids, fixed-point coords),
+    then scanned back through the manifest-walk + parallel-decode source —
+    the oracle checks the full encode→frame→decompress→delta→fixed-point
+    roundtrip against the original rows.  The driver-side write is fixture
+    prep (the 100 TB analogue is a file some upstream system produced)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from navgraph_osm_spark.sources.framed import scan_framed_nodes, write_framed_nodes
+
+    pdf = points_df(spark, sf_dir).toPandas().sort_values("point_id")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"s1_framed_{tag}.ngf1")
+    write_framed_nodes(
+        path,
+        pdf["point_id"].to_numpy(),
+        pdf["lat"].to_numpy(),
+        pdf["lng"].to_numpy(),
+        block_size=500,
+    )
+    out = scan_framed_nodes(spark, path)
+    return out.select(
+        F.col("id").alias("point_id"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lng", 6).alias("lng"),
+    )
+
+
+@_register(
     "a3_running_offsets",
     f"""
     WITH pts AS ({POINTS_SQL}),
@@ -931,6 +969,42 @@ def img_embed_ann(spark, sf_dir):
     )
     out = similarity.cosine_topk_bruteforce(emb, q, k=3)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@_register("aud_features")  # rows-only: audio payloads not visible to DuckDB
+def aud_features(spark, sf_dir):
+    """Multimodal audio path: PCM decode + vectorized feature extraction
+    (RMS / zero-cross / spectral centroid) in one Arrow-batched kernel."""
+    from navgraph_osm_spark.sources import media
+
+    aud = media.gen_audio(spark, 200, seed=42, partitions=8)
+    out = aud.mapInPandas(
+        media.audio_features_batches, schema=media.AUDIO_FEATURES_SCHEMA
+    )
+    return out.select(
+        "audio_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+        F.round("spectral_centroid_hz", 4).alias("spectral_centroid_hz"),
+    )
+
+
+@_register("vid_frame_sample")  # rows-only: video payloads not visible to DuckDB
+def vid_frame_sample(spark, sf_dir):
+    """Multimodal video path: length-prefixed frame container → every-4th
+    frame sampled + perceptual-hashed, aggregated per video."""
+    from navgraph_osm_spark.sources import media
+
+    vid = media.gen_video(spark, 100, seed=42, partitions=8)
+    sampled = vid.mapInPandas(
+        media.frame_sample_batches(every_k=4), schema=media.FRAME_SAMPLE_SCHEMA
+    )
+    return sampled.groupBy("video_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("phash").alias("n_distinct_phash"),
+        F.round(F.max("t_s"), 6).alias("last_t_s"),
+    )
 
 
 @_register(

@@ -1,0 +1,248 @@
+"""Multimodal audio/video columns: opaque binary payloads + typed metadata.
+
+Completes the multimodal surface next to `sources.codec` (images): media
+rows carry a ``bytes`` BinaryType column plus typed metadata, and every
+operator is an Arrow-batched ``mapInPandas`` kernel — schema, partitioning,
+UDF signature and batch shape are real and tested.  The payload formats are
+deterministic and decodable with numpy alone (this container has no
+libsndfile/ffmpeg):
+
+- **audio**: zlib-compressed mono int16 PCM (a real, lossless codec path);
+  features = RMS, zero-crossing rate, spectral centroid via ``numpy.fft``.
+- **video**: length-prefixed sequence of NGI1-encoded frames (reusing
+  `sources.codec`); frame sampling decodes every k-th frame and computes
+  its perceptual hash.
+
+``external_media_decoder_stub`` is the clearly-marked seam where a real
+mp3/h264 decoder would plug in (mirrors codec.external_decoder_stub).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from navgraph_osm_spark.sources.codec import decode_image, encode_image, phash64
+from navgraph_osm_spark.sources.synth import _u01, splitmix64
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("codec", T.StringType(), False),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, duration_s double, rms double, zero_cross_rate double, "
+    "spectral_centroid_hz double"
+)
+
+
+def encode_pcm(samples: np.ndarray) -> bytes:
+    """int16 mono PCM → zlib blob (lossless)."""
+    return zlib.compress(samples.astype("<i2").tobytes(), 6)
+
+
+def decode_pcm(data: bytes) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(data), dtype="<i2")
+
+
+def _audio_samples(aid: int, n: int, sr: int, seed: int) -> np.ndarray:
+    """Deterministic tone mix per id (two harmonics + phase from splitmix)."""
+    h = splitmix64(np.asarray([aid ^ seed], dtype=np.uint64))[0]
+    f0 = 110.0 * (1 + float(h % np.uint64(32)))  # 110..3630 Hz
+    phase = float(h % np.uint64(997)) / 997.0 * 2 * np.pi
+    t = np.arange(n) / sr
+    wave = 0.6 * np.sin(2 * np.pi * f0 * t + phase) + 0.3 * np.sin(
+        2 * np.pi * 2 * f0 * t
+    )
+    return np.round(wave * 20000).astype(np.int16)
+
+
+def gen_audio(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic audio table (splitmix-keyed; partition-independent)."""
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            sr = 8000
+            lens = (sr // 2 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 3))
+                               % np.uint64(sr))).astype(np.int64)
+            rows = []
+            for aid, ln in zip(ids, lens):
+                samples = _audio_samples(int(aid), int(ln), sr, seed)
+                rows.append(
+                    {
+                        "audio_id": f"aud{int(aid):08d}",
+                        "bytes": encode_pcm(samples),
+                        "sample_rate": sr,
+                        "n_samples": int(ln),
+                        "codec": "pcm16-zlib",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return rng.mapInPandas(_gen, schema=AUDIO_SCHEMA)
+
+
+def audio_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction kernel: decode → vectorized numpy per clip."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            x = decode_pcm(r.bytes).astype(np.float64) / 32768.0
+            n, sr = x.size, r.sample_rate
+            rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+            spec = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+            centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() > 0 else 0.0
+            rows.append(
+                {
+                    "audio_id": r.audio_id,
+                    "duration_s": n / sr,
+                    "rms": rms,
+                    "zero_cross_rate": zcr,
+                    "spectral_centroid_hz": centroid,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["audio_id", "duration_s", "rms", "zero_cross_rate",
+                     "spectral_centroid_hz"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# video
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("codec", T.StringType(), False),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, t_s double, phash long"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Frames → length-prefixed NGI1 sequence."""
+    parts = []
+    for fr in frames:
+        blob = encode_image(fr, "png")
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def iter_video_frames(data: bytes) -> Iterator[np.ndarray]:
+    pos = 0
+    while pos < len(data):
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        yield decode_image(data[pos : pos + ln])
+        pos += ln
+
+
+def _video_frame(vid: int, idx: int, w: int, h: int, seed: int) -> np.ndarray:
+    """Deterministic moving-gradient frame."""
+    h_ = splitmix64(np.asarray([vid * 131071 + seed], dtype=np.uint64))[0]
+    phase = float(h_ % np.uint64(997)) / 997.0 + idx * 0.07
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = (np.sin(xx / w * 6.28 + phase * 6.28) * 0.5 + 0.5) * 255
+    g = (np.cos(yy / h * 6.28 + phase * 3.14) * 0.5 + 0.5) * 255
+    b = ((xx + yy) / (w + h) * 255 + phase * 64) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def gen_video(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic video table: 8-24 frames of 24x16 RGB per row."""
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            nfr = (8 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 5))
+                        % np.uint64(17))).astype(np.int64)
+            rows = []
+            for vid, k in zip(ids, nfr):
+                w, h, fps = 24, 16, 8
+                frames = [_video_frame(int(vid), i, w, h, seed) for i in range(int(k))]
+                rows.append(
+                    {
+                        "video_id": f"vid{int(vid):08d}",
+                        "bytes": encode_video(frames),
+                        "w": w,
+                        "h": h,
+                        "fps": fps,
+                        "n_frames": int(k),
+                        "codec": "ngi1-seq",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return rng.mapInPandas(_gen, schema=VIDEO_SCHEMA)
+
+
+def frame_sample_batches(every_k: int = 4):
+    """Kernel factory: sample every k-th frame, emit (idx, timestamp, phash)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, fr in enumerate(iter_video_frames(r.bytes)):
+                    if i % every_k != 0:
+                        continue
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_idx": i,
+                            "t_s": i / r.fps,
+                            "phash": phash64(fr),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "t_s", "phash"]
+            )
+
+    return _sample
+
+
+def external_media_decoder_stub(data: bytes, codec: str) -> np.ndarray:
+    """Seam for a REAL media decoder (mp3/aac/h264...).
+
+    This container ships no media libraries; the deterministic pcm16-zlib /
+    ngi1-seq codecs above exercise the full Spark-side plumbing instead.
+    Swapping in a real decoder only changes this function — schemas, batch
+    shapes and partitioning are already production-shaped.
+    """
+    raise NotImplementedError(
+        f"external media codec '{codec}' requires libsndfile/ffmpeg — "
+        "not available in this environment (see module docstring)"
+    )

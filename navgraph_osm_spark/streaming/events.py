@@ -64,6 +64,74 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+RUNNING_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def running_user_stats(
+    events: DataFrame, watermark: str = "2 hours", timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) maintained across micro-batches.
+
+    This is the arbitrary-state surface (SURVEY §2.8/§2.9) for operators the
+    built-in windows can't express — per-key models, decaying counters,
+    custom session logic.  State is a 3-tuple per user; each micro-batch
+    updates it from the user's new rows (Arrow-batched) and emits the
+    running totals.
+
+    ``timeout_minutes`` (production knob) expires idle users via a
+    processing-time timeout so state stays bounded; note it keeps the query
+    triggering cleanup micro-batches even with no new data, so leave it None
+    for drain-to-completion test runs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "n_events": [], "total_value": [], "max_value": []}
+            )
+            return
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a streaming plan to completion against current files (tests).
 

@@ -145,6 +145,43 @@ def test_streaming_tumbling_counts(spark, events_dir):
     assert got == want
 
 
+def test_streaming_stateful_running_stats(spark, events_dir):
+    """applyInPandasWithState: per-user running stats must converge to the
+    batch groupBy answer once all files are processed (update mode keeps the
+    LAST row per user the current one)."""
+    from navgraph_osm_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        running_user_stats,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(running_user_stats(stream), "running_stats_out", mode="update")
+    # update mode appends one row per user per micro-batch; latest wins
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value, max_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY n_events DESC) AS rn FROM running_stats_out) WHERE rn = 1
+        """
+    ).toPandas().set_index("user_id").sort_index()
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert np.allclose(got["total_value"], want["total_value"])
+    assert np.allclose(got["max_value"], want["max_value"])
+
+
 def test_streaming_session_windows(spark, events_dir):
     from navgraph_osm_spark.streaming.events import read_events_stream, run_to_memory, session_windows
 
