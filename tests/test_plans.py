@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the plan properties SCALE.md promises.
+
+These assert on `explain` output so a refactor that silently loses predicate
+pushdown, column pruning, a broadcast, or introduces a cartesian product
+fails CI — the 100 TB guarantees are plan shapes, not vibes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import navgraph_osm_spark.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q1_column_pruning(spark):
+    p = plan_of(Q.queries()["q1_pricing_summary"](spark, SF))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    # only the aggregation inputs are scanned; wide columns pruned
+    assert "l_comment" not in read[0] and "l_shipdate" not in read[0]
+    assert "l_quantity" in read[0]
+
+
+def test_semi_join_filter_pushdown(spark):
+    p = plan_of(Q.queries()["semi_join_customers"](spark, SF))
+    assert "PushedFilters" in p
+    assert "GreaterThan(o_totalprice" in p, p
+
+
+def test_pip_join_no_cartesian_and_rect_fastpath(spark):
+    df = Q.queries()["sp_pip_join"](spark, SF)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # candidate generation is an equi join on cell
+    assert "cell" in p
+
+
+def test_turn_expansion_broadcasts_restrictions(spark):
+    t = Q.graph_tables(spark, SF)
+    from navgraph_osm_spark.operators import graph_build, turn_expand
+
+    edges = graph_build.build_edges(t["nodes"], t["ways"], t["way_nodes"], res=6)
+    restrictions = spark.createDataFrame(
+        [(1, 2, 3, 4, 0)], "id long, from_way long, via_node long, to_way long, type int"
+    )
+    p = plan_of(turn_expand.expand_turns(edges, restrictions))
+    assert "BroadcastHashJoin" in p  # J8/J9 restriction joins ship the dim side
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_topk_no_cross_join(spark):
+    """The LSH ANN path must be an equi join on bucket — never a cross join
+    (the brute-force oracle is the only allowed cross join in the repo)."""
+    from navgraph_osm_spark.operators.similarity import cosine_topk_lsh
+
+    emb = (
+        Q.load_table(spark, SF, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan_of(cosine_topk_lsh(emb, q, k=3, dim=64))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cell_expr_stays_in_codegen(spark):
+    """Cell assignment must not introduce Python: no ArrowEvalPython /
+    BatchEvalPython node, and the project stays inside WholeStageCodegen."""
+    pts = Q.points_df(spark, SF)
+    from navgraph_osm_spark.operators.spatial_join import assign_cells
+
+    p = plan_of(assign_cells(pts, res=12), mode="simple")
+    assert "EvalPython" not in p
+    # '*(n)' node prefix marks WholeStageCodegen participation in simple mode
+    assert "*(1) Project" in p
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    """Exact dedup is one groupBy with map-side partial agg (two HashAggregate
+    nodes around one Exchange)."""
+    from navgraph_osm_spark.operators.dedup import exact_duplicates
+
+    docs = Q.load_table(spark, SF, "documents").select("doc_id", "text")
+    p = plan_of(exact_duplicates(docs), mode="simple")
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange") <= 2  # hash partition + (AQE) nothing extra
