@@ -209,6 +209,35 @@ def cell_xy_sql(lat: str, lng: str, res: int) -> str:
     )
 
 
+def cell_morton_sql(lat: str, lng: str, res: int) -> str:
+    """DuckDB SQL computing the exact HIERARCHICAL cell id of
+    :func:`cell_expr` (marker bit | morton(x, y)).
+
+    Bit spreading is a per-bit list comprehension instead of the
+    shift/mask cascade — list_sum([((x >> i) & 1) << 2i]) — because SQL has
+    no cheap way to reuse a subexpression five times without a CTE.  This
+    makes the full Morton/quadkey id (and therefore parent/child shifts)
+    DuckDB-checkable, so adaptive-split results can be oracled.
+    """
+    n = 1 << res
+    x = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}.0) AS BIGINT)))"
+    )
+    y = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR((90.0 - {lat}) / 180.0 * {n}.0) AS BIGINT)))"
+    )
+
+    def spread(v: str, extra_shift: int) -> str:
+        return (
+            f"CAST(COALESCE(list_sum([((({v}) >> i) & 1) << (2 * i + {extra_shift}) "
+            f"FOR i IN range(0, {res})]), 0) AS BIGINT)"  # res=0: empty list -> 0
+        )
+
+    return f"({1 << (2 * res)} | {spread(x, 0)} | {spread(y, 1)})"
+
+
 def grid_disk_expr(cell_x: Column, cell_y: Column, res: int, k: int) -> Column:
     """Array of (x, y) neighbor structs within Chebyshev distance k.
 

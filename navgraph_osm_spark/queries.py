@@ -286,6 +286,49 @@ def pivot_orderstatus(spark, sf_dir):
     )
 
 
+@_register(
+    "outer_join_nation_balance",
+    """
+    SELECT n.n_name,
+           COUNT(c.c_custkey) AS n_customers,
+           ROUND(COALESCE(SUM(c.c_acctbal), 0), 4) AS total_balance
+    FROM nation n LEFT OUTER JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_nation_balance(spark, sf_dir):
+    """Left outer join preserving dimension rows with no facts (the join
+    type family the reference lacks entirely, SURVEY §2.3)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left_outer")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0)), 4).alias("total_balance"),
+        )
+    )
+
+
+@_register(
+    "except_unordered_parts",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey FROM lineitem
+    """,
+)
+def except_unordered_parts(spark, sf_dir):
+    """Set difference: parts never appearing in any lineitem (EXCEPT /
+    exceptAll family, SURVEY §2.6 'intersect/except: none' in reference)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return p.exceptAll(li).distinct()
+
+
 # --------------------------- events / windows ------------------------------
 
 @_register(
@@ -1438,8 +1481,79 @@ def emb_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@_register("skew_adaptive_split")  # rows-only: level-iteration not SQL-shaped
+def _skewed_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed point cloud derived from part keys (SQL-reproducible): 2/3 of
+    the rows land in a ~0.04° city-core blob, the rest spread worldwide."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    in_core = (k % 3) < 2
+    lat = F.when(in_core, 48.85 + ((k * 31) % 400).cast("double") * 0.0001).otherwise(
+        ((k * 7919) % 170000) / 1000.0 - 85.0
+    )
+    lng = F.when(in_core, 2.35 + ((k * 37) % 400).cast("double") * 0.0001).otherwise(
+        ((k * 104729) % 360000) / 1000.0 - 180.0
+    )
+    return part.select(k.alias("point_id"), lat.alias("lat"), lng.alias("lng"))
+
+
+_SKEWED_PTS_SQL = (
+    "SELECT CAST(p_partkey AS BIGINT) AS point_id, "
+    "CASE WHEN (CAST(p_partkey AS BIGINT) % 3) < 2 "
+    "THEN 48.85 + CAST((CAST(p_partkey AS BIGINT) * 31) % 400 AS DOUBLE) * 0.0001 "
+    "ELSE ((CAST(p_partkey AS BIGINT) * 7919) % 170000) / 1000.0 - 85.0 END AS lat, "
+    "CASE WHEN (CAST(p_partkey AS BIGINT) % 3) < 2 "
+    "THEN 2.35 + CAST((CAST(p_partkey AS BIGINT) * 37) % 400 AS DOUBLE) * 0.0001 "
+    "ELSE ((CAST(p_partkey AS BIGINT) * 104729) % 360000) / 1000.0 - 180.0 END AS lng "
+    "FROM part"
+)
+
+_SPLIT_RES, _SPLIT_T, _SPLIT_LVLS = 6, 100, 3
+
+
+def _skew_split_oracle() -> str:
+    from navgraph_osm_spark.cells import cell_morton_sql
+
+    finest = cell_morton_sql("lat", "lng", _SPLIT_RES + _SPLIT_LVLS)
+    sql = f"""
+    WITH pts AS ({_SKEWED_PTS_SQL}),
+    f AS (SELECT point_id, {finest} AS c9 FROM pts),
+    l0 AS (SELECT point_id, c9, c9 >> {2 * _SPLIT_LVLS} AS part FROM f)
+    """
+    prev = "l0"
+    for level in range(_SPLIT_LVLS):
+        shift = 2 * (_SPLIT_LVLS - level - 1)
+        sql += f"""
+    , d{level} AS (SELECT part AS dc FROM {prev} GROUP BY part
+                   HAVING COUNT(*) > {_SPLIT_T})
+    , l{level + 1} AS (SELECT point_id, c9,
+        CASE WHEN part IN (SELECT dc FROM d{level})
+             THEN c9 >> {shift} ELSE part END AS part FROM {prev})
+        """
+        prev = f"l{level + 1}"
+    sql += f"""
+    SELECT part AS part_cell, COUNT(*) AS n_rows FROM {prev} GROUP BY part
+    """
+    return sql
+
+
+@_register("skew_adaptive_split", _skew_split_oracle())
 def skew_adaptive_split(spark, sf_dir):
+    """Adaptive cell splitting, fully oracled: the level-by-level descent of
+    over-dense cells is unrolled in SQL (hierarchical Morton ids via
+    cells.cell_morton_sql, parent = child >> 2) over a skewed derived point
+    cloud — every dense city-core cell ends at a finer resolution, sparse
+    cells stay coarse."""
+    from navgraph_osm_spark.operators.skew import adaptive_cell_split, cell_histogram
+
+    pts = _skewed_points_df(spark, sf_dir)
+    split = adaptive_cell_split(
+        pts, res=_SPLIT_RES, threshold=_SPLIT_T, max_extra_levels=_SPLIT_LVLS
+    )
+    return cell_histogram(split, "part_cell")
+
+
+@_register("skew_adaptive_split_images")  # rows-only: image table not in DuckDB
+def skew_adaptive_split_images(spark, sf_dir):
     """Adaptive cell splitting over the skewed synthetic image table: dense
     city-core cells descend to finer resolutions until under threshold."""
     from navgraph_osm_spark.operators.skew import adaptive_cell_split, cell_histogram

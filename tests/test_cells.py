@@ -92,3 +92,22 @@ def test_grid_disk_expr_matches_numpy(spark):
     for (lat, lng), grp in out.groupby(["lat", "lng"]):
         center = int(cells.latlng_to_cell(np.array([lat]), np.array([lng]), res)[0])
         assert set(grp["c"]) == set(cells.grid_disk_np(center, k).tolist())
+
+
+def test_cell_morton_sql_parity():
+    """DuckDB cell_morton_sql must equal the numpy hierarchical encoder."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-90, 90, 3000), "lng": rng.uniform(-180, 180, 3000)}
+    )
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    for res in (0, 1, 6, 9, 12):
+        got = con.execute(
+            f"SELECT {cells.cell_morton_sql('lat', 'lng', res)} AS c FROM pts"
+        ).df()["c"].to_numpy()
+        want = cells.latlng_to_cell(pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), res)
+        assert (got == want).all(), res
