@@ -1229,16 +1229,101 @@ def dedup_clusters(spark, sf_dir):
     return dedup.cluster_pairs(pairs).select("doc_id", "cluster_id")
 
 
-@_register("dedup_minhash_lsh")  # rows-only: hash-family specifics not in SQL
+def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of minhash_lsh_pairs: the universal-hash family constants
+    are embedded as literals (same seed as the Arrow kernel), so signatures
+    match bit-for-bit; band collision is direct slice equality (equivalent
+    to the xxhash64 bucket join up to 2^-64 hash collisions)."""
+    from navgraph_osm_spark.functions.hashing import MERSENNE_PRIME, _hash_params
+
+    a, b = _hash_params(num_hashes, seed=42)
+    al = "[" + ",".join(str(int(v)) for v in a) + "]"
+    bl = "[" + ",".join(str(int(v)) for v in b) + "]"
+    r = num_hashes // bands
+    return rf"""
+    WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+                  FROM documents WHERE doc_id < 200),
+    grams AS (SELECT doc_id,
+      CASE WHEN length(t) = 0 THEN []
+           WHEN length(t) < 3 THEN [t]
+           ELSE list_distinct([substring(t, i, 3) FOR i IN range(1, length(t) - 1)])
+      END AS g FROM norm),
+    hs AS (SELECT doc_id,
+      CASE WHEN len(g) = 0 THEN [CAST(0 AS BIGINT)]
+           ELSE [CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) >> 1 AS BIGINT)
+                 FOR s IN g]
+      END AS hl FROM grams),
+    sigs AS (SELECT doc_id,
+      [list_min([({al}[i + 1] * x + {bl}[i + 1]) % {MERSENNE_PRIME}
+                 FOR x IN hl]) FOR i IN range(0, {num_hashes})] AS sig
+      FROM hs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(list_sum([CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END
+                                FOR i IN range(0, {num_hashes})]) AS DOUBLE)
+                 / {num_hashes}, 6) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE list_contains([a.sig[bi * {r} + 1 : bi * {r} + {r}]
+                         = b.sig[bi * {r} + 1 : bi * {r} + {r}]
+                         FOR bi IN range(0, {bands})], true)
+      AND CAST(list_sum([CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END
+                         FOR i IN range(0, {num_hashes})]) AS DOUBLE)
+          / {num_hashes} >= {threshold}
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle_sql(64, 16, 0.35))
 def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, fully oracled: the shingle→minhash→band→
+    bucket-join pipeline reproduced in DuckDB with the identical hash family
+    (constants embedded), band collision as slice equality, and the
+    signature-agreement estimate as the verify filter."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-@_register("dedup_simhash")  # rows-only
+@_register(
+    "dedup_simhash",
+    r"""
+    WITH norm AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+                  FROM documents WHERE doc_id < 200),
+    grams AS (SELECT doc_id,
+      CASE WHEN length(t) = 0 THEN []
+           WHEN length(t) < 3 THEN [t]
+           ELSE list_distinct([substring(t, i, 3) FOR i IN range(1, length(t) - 1)])
+      END AS g FROM norm),
+    hs AS (SELECT doc_id,
+           [CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) FOR s IN g] AS hl
+           FROM grams),
+    sh AS (SELECT doc_id,
+      CASE WHEN len(hl) = 0 THEN CAST(0 AS UBIGINT) ELSE
+        CAST(list_sum([CASE WHEN 2 * list_sum([CAST((h >> i) & 1 AS BIGINT) FOR h IN hl])
+                            > len(hl)
+                       THEN CAST(1 AS UBIGINT) << i ELSE CAST(0 AS UBIGINT) END
+                       FOR i IN range(0, 64)]) AS UBIGINT) END AS u
+      FROM hs),
+    sims AS (SELECT doc_id,
+      CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+           THEN CAST(u - CAST(9223372036854775808 AS UBIGINT) AS BIGINT)
+                + (-9223372036854775807 - 1)
+           ELSE CAST(u AS BIGINT) END AS h
+      FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE list_contains([((a.h >> (16 * bi)) & 65535) = ((b.h >> (16 * bi)) & 65535)
+                         FOR bi IN range(0, 4)], true)
+      AND bit_count(xor(a.h, b.h)) <= 12
+    """,
+)
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, fully oracled: DuckDB reproduces the 64-bit
+    SimHash bit-for-bit (md5-prefix shingle hashes via hex cast, per-bit
+    vote with nested list lambdas, sign-safe UBIGINT→BIGINT reinterpret),
+    then the 16-bit band blocking and bit_count Hamming verify."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.simhash_pairs(docs, max_hamming=12)
+    out = dedup.simhash_pairs(docs, max_hamming=12)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @_register("sim_cosine_topk_lsh")  # rows-only: LSH bucket family not in SQL
