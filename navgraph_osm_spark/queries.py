@@ -1462,10 +1462,60 @@ def gb_export(spark, sf_dir):
     )
 
 
-@_register("gb_export_wkt")  # rows-only: LINESTRING text assembly not in SQL scope
+# S6 string assembly in SQL: per-direction point lists, the searchsorted-
+# right half-split index, midpoint splice, and printf 6-decimal "lng lat"
+# formatting — the whole LINESTRING reproduced character-for-character.
+_EXPORT_WKT_ORACLE = f"""
+    WITH {_edges_full_sql(20)}, {_CAND_SQL.strip()}, {_MIDPOINT_SQL.strip()},
+    pts0 AS (
+      SELECT way_id, CAST(cuts_incl - 1 AS BIGINT) AS seg,
+             list(struct_pack(lat := lat, lng := lng) ORDER BY seq) AS head_pts,
+             arg_max(struct_pack(lat := nlat, lng := nlng), seq) AS last_pt,
+             list(sqrt(pow(nlat - lat, 2) + pow(nlng - lng, 2)) ORDER BY seq) AS elens
+      FROM legs WHERE nxt_node IS NOT NULL GROUP BY way_id, seg),
+    ptsf AS (
+      SELECT way_id, seg, list_append(head_pts, last_pt) AS pts, elens,
+             list_sum(elens) / 2.0 AS half
+      FROM pts0),
+    dirs AS (
+      SELECT way_id, seg, 0 AS direction, pts, elens, half FROM ptsf
+      UNION ALL
+      SELECT way_id, seg, 1, list_reverse(pts), list_reverse(elens), half
+      FROM ptsf WHERE way_id % 3 <> 0),
+    halves AS (
+      SELECT d.way_id, d.seg, d.direction, d.pts, d.half,
+             1 + len(list_filter([list_sum(d.elens[1:j])
+                                  FOR j IN range(1, len(d.elens) + 1)],
+                                 s -> s <= d.half)) AS i,
+             m.mid_lat, m.mid_lng
+      FROM dirs d JOIN mids m ON m.way_id = d.way_id AND m.seg = d.seg)
+    SELECT ROUND((c.src_cost + c.tgt_cost) / 2, 6) AS weight,
+           'LINESTRING(' || array_to_string(
+             list_transform(
+               list_concat(
+                 list_concat([struct_pack(lat := hs.mid_lat, lng := hs.mid_lng)],
+                             hs.pts[hs.i + 1 :]),
+                 list_concat(ht.pts[2 : ht.i],
+                             [struct_pack(lat := ht.mid_lat, lng := ht.mid_lng)])),
+               p -> printf('%.6f %.6f', p.lng, p.lat)), ';') || ')' AS geom,
+           CAST(c.from_way % 3 = 0 AS INT) AS was_one_way,
+           c.from_way AS osm_way_from, c.to_way AS osm_way_to
+    FROM cand c
+    JOIN halves hs ON hs.way_id = c.from_way
+                  AND hs.seg = (c.src_edge_id % {_EDGE_ID_MUL}) // 2
+                  AND hs.direction = c.src_edge_id % 2
+    JOIN halves ht ON ht.way_id = c.to_way
+                  AND ht.seg = (c.tgt_edge_id % {_EDGE_ID_MUL}) // 2
+                  AND ht.direction = c.tgt_edge_id % 2
+"""
+
+
+@_register("gb_export_wkt", _EXPORT_WKT_ORACLE)
 def gb_export_wkt(spark, sf_dir):
-    """S6 string assembly: the reference-shaped LINESTRING CSV rows
-    (reference csv/generate.hpp:238-263) over the same export sample."""
+    """S6 string assembly, fully oracled: the reference-shaped LINESTRING
+    CSV rows (reference csv/generate.hpp:238-263) — midpoint(src edge) →
+    via → midpoint(tgt edge), ';'-separated "lng lat" at 6 decimals —
+    reproduced character-for-character in SQL."""
     from navgraph_osm_spark.operators.export import export_rows
 
     edges, turns = _export_edges(spark, sf_dir)
