@@ -80,3 +80,67 @@ def test_missing_oneway_tag_means_twoway(spark):
     )
     got = {r["way_id"]: r["oneway"] for r in filter_ways_tags(ways).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_pivot_fuzz_matches_python_reference(spark):
+    """Property fuzz: the DataFrame pivot equals a direct python re-implementation
+    of the reference loop (worker.hpp:223-307) on randomized raw relations."""
+    import numpy as np
+
+    from navgraph_osm_spark.operators.relations import RESTRICTION_TYPE_CODES
+
+    rng = np.random.default_rng(99)
+    roles = ["from", "via", "to", "outer"]
+    mtypes = ["way", "node", "relation"]
+    tstrs = list(RESTRICTION_TYPE_CODES) + ["no_u_turn", None]
+    # the canonical valid layout, perturbed with 25%-per-field noise so both
+    # valid restrictions and every invalidity class appear
+    canon = [("from", "way"), ("via", "node"), ("to", "way")]
+    member_rows, tag_rows = [], []
+    for rid in range(300):
+        n_members = int(rng.choice([2, 3, 3, 3, 4]))
+        for seq in range(n_members):
+            role, mtype = canon[seq % 3]
+            if rng.random() < 0.25:
+                role = roles[int(rng.integers(0, 4))]
+            if rng.random() < 0.25:
+                mtype = mtypes[int(rng.integers(0, 3))]
+            member_rows.append((rid, seq, mtype, role, int(rng.integers(1, 50))))
+        ts = tstrs[int(rng.integers(0, len(tstrs)))]
+        tag_rows.append((rid, {"restriction": ts} if ts is not None else {"type": "route"}))
+
+    # python reference: last-wins pivot + validation, mirroring the C++ loop
+    want = {}
+    by_rel: dict[int, list] = {}
+    for rid, seq, mt, role, mid in member_rows:
+        by_rel.setdefault(rid, []).append((seq, mt, role, mid))
+    tags = dict(tag_rows)
+    for rid, ms in by_rel.items():
+        rtype = tags[rid].get("restriction")
+        if rtype is None or len(ms) != 3:
+            continue
+        fr = via = to = None
+        for _, mt, role, mid in sorted(ms):
+            if role == "from" and mt == "way":
+                fr = mid
+            elif role == "to" and mt == "way":
+                to = mid
+            elif role == "via" and mt == "node":
+                via = mid
+        if fr is None or via is None or to is None:
+            continue
+        if rtype not in RESTRICTION_TYPE_CODES:
+            continue
+        want[rid] = (fr, via, to, RESTRICTION_TYPE_CODES[rtype])
+
+    members = spark.createDataFrame(
+        member_rows,
+        "rel_id long, seq int, member_type string, role string, member_id long",
+    )
+    rel_tags = spark.createDataFrame(tag_rows, "rel_id long, tags map<string,string>")
+    got = {
+        r["id"]: (r["from_way"], r["via_node"], r["to_way"], r["type"])
+        for r in pivot_restrictions(members, rel_tags).collect()
+    }
+    assert got == want
+    assert len(want) > 5  # the fuzz actually produced valid restrictions
