@@ -371,23 +371,16 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
+    from navgraph_osm_spark.operators.similarity import sign_bucket
+
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
     hyper = rng.normal(size=(planes, dim))
 
-    def _dot_plane(vec, plane: list[float]):
-        arr = F.array(*[F.lit(float(v)) for v in plane])
-        return F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-        )
-
-    sign_bits = None
-    for i in range(planes):
-        bit = (_dot_plane(F.col(vec_col), hyper[i].tolist()) >= 0).cast("long")
-        sign_bits = bit if sign_bits is None else sign_bits * 2 + bit
-
-    base = emb.select(F.col(id_col), F.col(vec_col), sign_bits.alias("bucket0"))
+    # sign_bucket auto-dispatches: codegen exprs for small dim x planes,
+    # one Arrow-batched matmul beyond (literal-array plans bloat with dim)
+    base = emb.select(F.col(id_col), F.col(vec_col), sign_bucket(vec_col, hyper).alias("bucket0"))
     # multi-probe: own bucket + each 1-bit flip
     probes = F.array(
         F.col("bucket0"),

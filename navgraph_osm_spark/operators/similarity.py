@@ -18,8 +18,10 @@ At 100 TB the corpus side is bucketed once (write-time partitioning on
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -53,7 +55,18 @@ def cosine_topk_bruteforce(
     )
 
 
+# above this many literal coefficients the JVM-expression bucketer bloats
+# the plan (round-1 review note) AND loses to one vectorized matmul
+_EXPR_BUCKET_COEF_LIMIT = 2048
+
+
 def _sign_bucket_expr(vec_col: str, hyper: np.ndarray):
+    """Sign-LSH bucket as pure column expressions (codegen'd).
+
+    Right for small dim × planes; each hyperplane is a literal array.  For
+    large embeddings dispatch goes to :func:`_sign_bucket_udf` instead —
+    literal-array plans grow with dim and a single Arrow-batched matmul is
+    faster anyway."""
     bits = None
     for i in range(hyper.shape[0]):
         arr = F.array(*[F.lit(float(v)) for v in hyper[i]])
@@ -65,6 +78,29 @@ def _sign_bucket_expr(vec_col: str, hyper: np.ndarray):
         bit = (dot >= 0).cast("long")
         bits = bit if bits is None else bits * 2 + bit
     return bits
+
+
+def _sign_bucket_udf(vec_col: str, hyper: np.ndarray):
+    """Sign-LSH bucket via one Arrow-batched matmul (X @ H.T >= 0), packed
+    to the same bit order as the expression path (plane 0 = MSB)."""
+    H = np.ascontiguousarray(hyper, dtype=np.float64)
+    weights = (1 << np.arange(H.shape[0] - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        bits = (X @ H.T) >= 0
+        return pd.Series(bits @ weights)
+
+    return _bucket(F.col(vec_col))
+
+
+def sign_bucket(vec_col: str, hyper: np.ndarray):
+    """Auto-dispatch bucketer: codegen expressions while the literal count
+    is small, Arrow matmul beyond ``_EXPR_BUCKET_COEF_LIMIT`` coefficients."""
+    if hyper.size <= _EXPR_BUCKET_COEF_LIMIT:
+        return _sign_bucket_expr(vec_col, hyper)
+    return _sign_bucket_udf(vec_col, hyper)
 
 
 def cosine_topk_lsh(
@@ -86,10 +122,10 @@ def cosine_topk_lsh(
     rng = np.random.default_rng(seed)
     hyper = rng.normal(size=(planes, dim))
     c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("c_vec"), _sign_bucket_expr(vec_col, hyper).alias("bucket")
+        F.col(id_col), F.col(vec_col).alias("c_vec"), sign_bucket(vec_col, hyper).alias("bucket")
     )
     q0 = queries.select(
-        F.col(query_id), F.col(vec_col).alias("q_vec"), _sign_bucket_expr(vec_col, hyper).alias("bucket0")
+        F.col(query_id), F.col(vec_col).alias("q_vec"), sign_bucket(vec_col, hyper).alias("bucket0")
     )
     probes = [F.col("bucket0")]
     if probe_bits >= 1:

@@ -51,3 +51,30 @@ def test_lsh_recall_at_10(emb):
     # self-match is always rank 1 (query is in corpus)
     top1 = approx[approx["rank"] == 1]
     assert (top1["query_id"] == top1["vec_id"]).all()
+
+
+def test_sign_bucket_expr_udf_parity(spark):
+    """The Arrow matmul bucketer (used when dim x planes exceeds the literal
+    limit) must produce identical buckets to the codegen expression path."""
+    import numpy as np
+
+    from navgraph_osm_spark.operators.similarity import (
+        _EXPR_BUCKET_COEF_LIMIT,
+        _sign_bucket_expr,
+        _sign_bucket_udf,
+        sign_bucket,
+    )
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=300).tolist()) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    hyper = np.random.default_rng(42).normal(size=(12, 300))  # 3600 > limit
+    assert hyper.size > _EXPR_BUCKET_COEF_LIMIT
+    a = df.select("vec_id", _sign_bucket_expr("embedding", hyper).alias("b")).toPandas()
+    b = df.select("vec_id", _sign_bucket_udf("embedding", hyper).alias("b")).toPandas()
+    c = df.select("vec_id", sign_bucket("embedding", hyper).alias("b")).toPandas()
+    for other in (b, c):
+        merged = a.merge(other, on="vec_id")
+        assert (merged["b_x"] == merged["b_y"]).all()
