@@ -12,17 +12,22 @@ indexing over image+caption tables:
 - ``functions``  — haversine / geometry / text / hashing column functions.
 - ``sources``    — deterministic synthetic generators (image+caption table,
                    OSM-like fixture tables) + a parquet/Iceberg-abstracted
-                   writer, plus the image codec (encode/decode pandas UDFs).
+                   writer, the NGI1 image codec, the NGF1 framed-blob
+                   source (S1/S2 ingestion shape), and multimodal
+                   audio/video columns (``media``).
 - ``operators``  — graph build (node usage → way segmentation → edges),
-                   turn expansion with restrictions, point-in-polygon join,
-                   kNN join, tile assignment, dedup family, ANN similarity,
+                   F3 restriction pivot (``relations``), turn expansion with
+                   restrictions, point-in-polygon join, kNN join, tile
+                   assignment, dedup family, ANN similarity, CSV export,
                    skew handling (salting / adaptive cell split).
 - ``plans``      — checkpoint/resume stage runner with per-partition lineage
                    + metrics (the Spark analogue of the reference's
                    intermediate binary files, reference main.cpp:95-127).
+- ``streaming``  — watermarked windows + applyInPandasWithState operators.
 
-Everything is batch DataFrame-first; Python only runs inside Arrow-batched
-pandas UDFs (never per-row).
+CLI: ``python -m navgraph_osm_spark <input_dir> [output.csv]`` mirrors the
+reference binary.  Everything is batch DataFrame-first; Python only runs
+inside Arrow-batched pandas UDFs (never per-row).
 """
 
 __version__ = "0.1.0"
