@@ -1381,6 +1381,48 @@ def sim_cosine_topk_lsh(spark, sf_dir):
     return per_q.select("query_id", F.round("recall_at_5", 6).alias("recall_at_5"))
 
 
+@_register("sim_cosine_topk_ivf")  # rows-only: k-means quantizer not in SQL
+def sim_cosine_topk_ivf(spark, sf_dir):
+    """IVF scale path (k-means coarse quantizer + nprobe search): per-query
+    recall@5 vs the brute-force top-k over the corpus with planted
+    near-identical copies, gated at mean recall ≥ 0.9 inside the query."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planted = q.select(
+        F.col("query_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("j"),
+        "embedding",
+    ).select(
+        (F.lit(3_000_000) + F.col("query_id") * 10 + F.col("j")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.col("j").cast("double") * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    approx = similarity.cosine_topk_ivf(
+        corpus, q, k=5, n_centroids=32, nprobe=4
+    ).select(F.col("query_id").alias("qid"), F.col("vec_id").alias("hit"))
+    exact = similarity.cosine_topk_bruteforce(corpus, q, k=5).select(
+        "query_id", F.col("vec_id").alias("want")
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("qid")) & (F.col("want") == F.col("hit")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("hit") / F.lit(5.0)).alias("recall_at_5"))
+    )
+    gate = per_q.agg(F.avg("recall_at_5").alias("mean_recall")).first()
+    assert gate["mean_recall"] >= 0.9, f"IVF recall regressed: {gate['mean_recall']}"
+    return per_q.select("query_id", F.round("recall_at_5", 6).alias("recall_at_5"))
+
+
 # W4 polyline midpoint (point at half the Euclidean length, reference
 # geomath.cpp:77-97) re-expressed with SQL window functions: per (way, seg)
 # leg lengths → running offsets → pick the LAST leg whose start offset ≤

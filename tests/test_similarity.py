@@ -78,3 +78,31 @@ def test_sign_bucket_expr_udf_parity(spark):
     for other in (b, c):
         merged = a.merge(other, on="vec_id")
         assert (merged["b_x"] == merged["b_y"]).all()
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """IVF with nprobe search must reach high recall@5 on blob-clustered
+    vectors (the data shape IVF is built for)."""
+    import numpy as np
+
+    from navgraph_osm_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(10, 32)) * 4
+    rows = []
+    for i in range(500):
+        c = i % 10
+        rows.append((i, (centers[c] + rng.normal(size=32) * 0.3).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.limit(25).selectExpr("vec_id AS query_id", "embedding")
+    exact = cosine_topk_bruteforce(corpus, queries, k=5).toPandas()
+    approx = cosine_topk_ivf(
+        corpus, queries, k=5, n_centroids=16, nprobe=4
+    ).toPandas()
+    want = exact.groupby("query_id")["vec_id"].apply(set)
+    got = approx.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(want[q] & got.get(q, set())) / 5 for q in want.index])
+    assert recall >= 0.9, recall
