@@ -118,3 +118,83 @@ def fingerprint_expr(text: Column) -> Column:
 
 def fingerprint_sql(text: str) -> str:
     return f"md5(regexp_replace(trim({text}), '\\s+', ' ', 'g'))"
+
+
+# BPE-ish subword pattern: letter runs | digit runs | single non-space symbol.
+# Deliberately RE2-compatible (no lookaround) so Spark's Java regex and
+# DuckDB's RE2 count identically.
+_SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_token_count_expr(text: Column) -> Column:
+    """BPE-ish token count (the tokenizer-free budget estimate a training
+    pipeline uses before the real tokenizer runs)."""
+    return F.regexp_count(text, F.lit(_SUBWORD_PATTERN)).cast("int")
+
+
+def subword_token_count_sql(text: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text}, '{_SUBWORD_PATTERN}')) AS INTEGER)"
+    )
+
+
+def winnow_fingerprints_expr(text: Column, k: int = 5) -> Column:
+    """Winnowing document fingerprints (rolling-hash selection, the MOSS
+    scheme): k-gram hashes → minimum per sliding window of 4 → distinct.
+
+    Robust to local edits (unlike the whole-document md5): two documents
+    sharing long substrings share fingerprints.  Gram hashes are md5-derived
+    32-bit ints (portable across engines).
+
+    The window minimum is built from two shifted ``zip_with``/``least``
+    passes (min of pairs, then min of pairs-of-pairs = windows of 4) — a
+    naive ``transform(sequence, i -> array_min(slice(hashes, i, 4)))``
+    re-inlines the whole md5 pipeline per window (no CSE across
+    higher-order-function lambdas) and is O(n²) in md5 calls.
+    """
+    t = F.regexp_replace(F.trim(text), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+    h = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    n = F.size(h)
+    safe = lambda c: F.greatest(c, F.lit(1))  # noqa: E731  (unused-branch guard)
+    m1 = F.zip_with(
+        F.slice(h, 1, safe(n - 1)), F.slice(h, 2, safe(n - 1)),
+        lambda x, y: F.least(x, y),
+    )
+    m2 = F.zip_with(
+        F.slice(m1, 1, safe(n - 3)), F.slice(m1, 3, safe(n - 3)),
+        lambda x, y: F.least(x, y),
+    )
+    wins = F.when(n >= 4, m2).otherwise(F.array(F.array_min(h)))
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_hashes_sql(text: str, k: int = 5) -> str:
+    """SQL expr for the k-gram hash list — materialize it as a CTE column
+    before windowing (inlining it into the window comprehension recomputes
+    every md5 once per window)."""
+    t = f"regexp_replace(trim({text}), '\\s+', ' ', 'g')"
+    grams = (
+        f"[substring({t}, i, {k}) "
+        f"FOR i IN range(1, GREATEST(length({t}) - {k - 1}, 1) + 1)]"
+    )
+    return (
+        f"[CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS BIGINT) "
+        f"FOR g IN {grams}]"
+    )
+
+
+def winnow_select_sql(hashes_col: str) -> str:
+    """Window-of-4 minima + distinct + sort over a PRE-MATERIALIZED hash
+    column (see :func:`winnow_hashes_sql`)."""
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({hashes_col}) >= 4 "
+        f"THEN [list_min({hashes_col}[i : i + 3]) "
+        f"FOR i IN range(1, len({hashes_col}) - 2)] "
+        f"ELSE [list_min({hashes_col})] END))"
+    )

@@ -1148,6 +1148,43 @@ def txt_fingerprint(spark, sf_dir):
 
 
 @_register(
+    "txt_subword_tokens",
+    f"""
+    SELECT doc_id, {X.subword_token_count_sql('text')} AS n_subwords,
+           {X.token_count_sql('text')} AS n_whitespace
+    FROM documents
+    """,
+)
+def txt_subword_tokens(spark, sf_dir):
+    """Token counting both ways (whitespace + BPE-ish regex) — the
+    tokenizer-free budget estimates of a training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.subword_token_count_expr(F.col("text")).alias("n_subwords"),
+        X.token_count_expr(F.col("text")).alias("n_whitespace"),
+    )
+
+
+@_register(
+    "txt_winnow_fingerprint",
+    f"""
+    WITH h AS (SELECT doc_id, {X.winnow_hashes_sql('text')} AS hl
+               FROM documents WHERE doc_id < 300)
+    SELECT doc_id, UNNEST({X.winnow_select_sql('hl')}) AS fp FROM h
+    """,
+)
+def txt_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — edit-robust
+    substring fingerprints (MOSS scheme), one row per selected hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.explode(X.winnow_fingerprints_expr(F.col("text"))).alias("fp"),
+    )
+
+
+@_register(
     "dedup_exact",
     f"""
     WITH aug AS (
