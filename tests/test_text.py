@@ -75,3 +75,40 @@ def test_stopword_ratio_parity(docs, duck):
         duck,
         f"SELECT doc_id, {X.stopword_ratio_sql('text')} AS ratio FROM documents",
     )
+
+
+def test_winnow_fingerprints_edit_robust(spark):
+    """Documents sharing a long substring share winnow fingerprints even
+    after local edits; whole-document md5 does not."""
+    from navgraph_osm_spark.functions.text import (
+        fingerprint_expr,
+        winnow_fingerprints_expr,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank "
+    docs = spark.createDataFrame(
+        [(1, "PREFIX A " + shared + "tail one"),
+         (2, "other start " + shared + "different ending entirely")],
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("md5fp"),
+        winnow_fingerprints_expr(F.col("text")).alias("wfp"),
+    ).collect()
+    a, b = out[0], out[1]
+    assert a["md5fp"] != b["md5fp"]
+    overlap = set(a["wfp"]) & set(b["wfp"])
+    assert len(overlap) >= 5, (len(a["wfp"]), len(b["wfp"]), len(overlap))
+
+
+def test_winnow_short_and_empty_texts(spark):
+    from navgraph_osm_spark.functions.text import winnow_fingerprints_expr
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abcd"), (4, "abcdefgh")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["w"] for r in docs.select(
+        "doc_id", winnow_fingerprints_expr(F.col("text")).alias("w")).collect()}
+    for did, w in rows.items():
+        assert len(w) >= 1, did  # every doc yields at least one fingerprint
