@@ -145,6 +145,7 @@ def build_edges(
         .agg(
             F.first("oneway").alias("oneway"),
             F.sum("leg_cost").alias("cost"),
+            F.count("*").alias("n_points"),
             F.min_by("node_id", "seq").alias("src_node"),
             F.min_by("lat", "seq").alias("src_lat"),
             F.min_by("lng", "seq").alias("src_lng"),
@@ -166,6 +167,7 @@ def build_edges(
             "seg",
             "oneway",
             "cost",
+            "n_points",
             F.col("tgt_node").alias("src_node"),
             F.col("tgt_lat").alias("src_lat"),
             F.col("tgt_lng").alias("src_lng"),
@@ -192,7 +194,7 @@ def build_edges(
     return edges.select(
         "edge_id", "way_id", "seg", "direction", "oneway",
         "src_node", "src_lat", "src_lng", "tgt_node", "tgt_lat", "tgt_lng",
-        "cost", "geom", "src_cell", "tgt_cell", "is_border",
+        "cost", "n_points", "geom", "src_cell", "tgt_cell", "is_border",
     )
 
 

@@ -455,13 +455,15 @@ _GB_EDGES_ORACLE = f"""
 def gb_edges(spark, sf_dir):
     t = graph_tables(spark, sf_dir)
     edges = graph_build.build_edges(t["nodes"], t["ways"], t["way_nodes"], res=6)
+    # n_points from the agg count, NOT size(geom) — keeps the geometry
+    # collect_list pruned out of this query's plan entirely
     return edges.filter(F.col("direction") == 0).select(
         "way_id",
         "seg",
         "src_node",
         "tgt_node",
         F.round("cost", 6).alias("cost"),
-        F.size("geom").cast("long").alias("n_points"),
+        F.col("n_points").cast("long").alias("n_points"),
     )
 
 
