@@ -200,15 +200,23 @@ def run_job_once(cpus: int, n_images: int) -> dict:
     }
 
 
-def run_scaling(n_small: int, n_large: int, n_images: int) -> dict:
+def run_scaling(n_small: int, n_large: int, n_images: int, repeats: int = 2) -> dict:
+    """Each parallelism level runs ``repeats`` times in fresh subprocesses and
+    the MINIMUM elapsed is used — this VM shows multi-second host-noise
+    spikes (CPU steal) that would otherwise swing the ratio by ~±10%."""
     results = []
     for cpus in (n_small, n_large):
-        out = subprocess.run(
-            [sys.executable, __file__, "--job-once", "--cpus", str(cpus),
-             "--images", str(n_images)],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, __file__, "--job-once", "--cpus", str(cpus),
+                 "--images", str(n_images)],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["elapsed_s"] < best["elapsed_s"]:
+                best = r
+        results.append(best)
     small, large = results
     speedup = small["elapsed_s"] / large["elapsed_s"]
     efficiency = speedup / (n_large / n_small)
