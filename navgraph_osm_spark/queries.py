@@ -380,6 +380,44 @@ def ev_sessionize(spark, sf_dir):
     )
 
 
+@_register(
+    "st_tumbling_counts",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_counts(spark, sf_dir):
+    """STRUCTURED STREAMING, oracled: the events file is replayed through
+    readStream (maxFilesPerTrigger micro-batches) into the watermarked
+    tumbling-window aggregate; once drained, the streaming state must equal
+    the batch GROUP BY — the oracle is that batch SQL."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from navgraph_osm_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), "st_events_" + uuid.uuid4().hex[:10])
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "p0.parquet"))
+    stream = read_events_stream(spark, d)
+    name = "st_tumbling_" + uuid.uuid4().hex[:10]
+    run_to_memory(tumbling_counts(stream, "1 hour", "2 hours"), name, mode="complete")
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 # --------------------------- graph build ops -------------------------------
 
 @_register(
