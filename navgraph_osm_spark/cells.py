@@ -244,6 +244,11 @@ def grid_disk_expr(cell_x: Column, cell_y: Column, res: int, k: int) -> Column:
     Meant to be exploded: ``F.explode(grid_disk_expr(...))``.  Longitude
     wraps; latitude clamps (out-of-range rows are filtered).
     Pure column expressions (sequence + transform + filter + flatten).
+
+    The result is DISTINCT per disk (array_distinct, per-row — no shuffle):
+    when ``2k+1 > 2^res`` the longitude wrap revisits cells, and downstream
+    joins (knn_join) rely on "each disk contains a cell at most once" to
+    emit unique candidate pairs without a dedup shuffle.
     """
     n = 1 << res
     dx = F.sequence(F.lit(-k), F.lit(k))
@@ -259,4 +264,4 @@ def grid_disk_expr(cell_x: Column, cell_y: Column, res: int, k: int) -> Column:
             ),
         )
     )
-    return F.filter(pairs, lambda p: (p["y"] >= 0) & (p["y"] < n))
+    return F.array_distinct(F.filter(pairs, lambda p: (p["y"] >= 0) & (p["y"] < n)))

@@ -68,10 +68,13 @@ def knn_join(
         "dist_km",
         haversine_expr(F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng")),
     )
+    # candidate pairs are unique by construction — a point lies in exactly
+    # one cell and grid_disk_expr yields each cell at most once per query
+    # (array_distinct handles longitude wrap) — so no dedup shuffle before
+    # the window
     w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(point_id).asc())
     return (
-        cand.dropDuplicates([query_id, point_id])
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, point_id, "dist_km", "rank")
     )

@@ -48,29 +48,37 @@ def adaptive_cell_split(
     until every partition cell is under the threshold or ``max_extra_levels``
     is exhausted.
 
-    Implementation: encode once at the finest resolution, then derive every
-    coarser id by shifting — the density decision is a broadcast join against
-    a small per-cell histogram computed level by level (driver loop over at
-    most ``max_extra_levels`` cheap aggs, never over rows).
+    Implementation: encode once at the finest resolution, aggregate the data
+    ONCE into a per-finest-cell histogram (≤ 4^finest rows — orders of
+    magnitude smaller than the data), run the whole level descent on that
+    histogram (tiny broadcast joins, no further scans of ``df``), then join
+    the resulting finest-cell → part-cell mapping back in a single pass.
+    The mapping is broadcast when small; at extreme resolutions it falls
+    back to a shuffle join that is co-keyed with the cell partitioning the
+    caller is about to apply anyway.
     """
     finest = res + max_extra_levels
     out = df.withColumn("__finest", cell_expr(F.col(lat), F.col(lng), finest))
-    out = out.withColumn(cell_col, F.shiftright(F.col("__finest"), 2 * max_extra_levels))
 
+    # ONE aggregation over the data; the descent below touches only `hist`
+    hist = (
+        out.groupBy("__finest")
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    m = hist.withColumn(
+        cell_col, F.shiftright(F.col("__finest"), 2 * max_extra_levels)
+    )
     for level in range(max_extra_levels):
-        hist = out.groupBy(cell_col).agg(F.count("*").alias("__n"))
-        dense = hist.filter(F.col("__n") > threshold).select(
+        totals = m.groupBy(cell_col).agg(F.sum("__n").alias("__t"))
+        dense = totals.filter(F.col("__t") > threshold).select(
             F.col(cell_col).alias("__dense_cell")
         )
         if dense.isEmpty():
             break
         shift = 2 * (max_extra_levels - level - 1)
-        out = (
-            out.join(
-                F.broadcast(dense),
-                out[cell_col] == F.col("__dense_cell"),
-                "left",
-            )
+        m = (
+            m.join(F.broadcast(dense), m[cell_col] == F.col("__dense_cell"), "left")
             .withColumn(
                 cell_col,
                 F.when(
@@ -80,4 +88,7 @@ def adaptive_cell_split(
             )
             .drop("__dense_cell")
         )
-    return out.drop("__finest")
+    mapping = m.select("__finest", cell_col).localCheckpoint(eager=True)
+    if mapping.count() <= 2_000_000:
+        mapping = F.broadcast(mapping)
+    return out.join(mapping, "__finest").drop("__finest")

@@ -184,37 +184,40 @@ def _is_axis_rect_expr(fp_col, lat_min, lat_max, lng_min, lng_max):
     (excludes bowtie orders, whose even-odd interior is not the box),
     non-degenerate bbox.
 
-    Deliberately written as ~60 SCALAR comparisons over try_element_at
-    lookups — no higher-order array functions — so the whole-stage codegen
-    for the candidate stage compiles in milliseconds (an earlier
-    forall/zip_with/array_distinct formulation added ~10s of plan-compile
-    per session).
+    Codegen note: vertex access goes through flat ``array<double>``
+    projections (``transform(fp, p→p.lat)``) and ``try_element_at`` on
+    those, NOT ``try_element_at(fp, i)["lat"]`` struct-field chains — the
+    two-level null tracking of GetStructField-over-TryElementAt under
+    common-subexpression elimination trips a Janino bug (`Expression
+    "isNull_*" is not an rvalue`) and Spark silently falls back to
+    interpreted Predicates.  The flat-array form compiles clean even after
+    Catalyst's filter pushdown inlines the whole expression into one
+    predicate (regression-tested with codegen factoryMode=CODEGEN_ONLY).
     """
+    lats = F.transform(fp_col, lambda p: p["lat"])
+    lngs = F.transform(fp_col, lambda p: p["lng"])
     n = F.size(fp_col)
-    p = [F.try_element_at(fp_col, F.lit(i)) for i in (1, 2, 3, 4, 5)]
-    closed5 = (
-        (n == 5) & (p[0]["lat"] == p[4]["lat"]) & (p[0]["lng"] == p[4]["lng"])
-    )
+    pa = [F.try_element_at(lats, F.lit(i)) for i in (1, 2, 3, 4, 5)]
+    po = [F.try_element_at(lngs, F.lit(i)) for i in (1, 2, 3, 4, 5)]
+    closed5 = (n == 5) & (pa[0] == pa[4]) & (po[0] == po[4])
     size_ok = (n == 4) | closed5
-    quad = p[:4]
     on_corner = None
-    for v in quad:
-        c = ((v["lat"] == lat_min) | (v["lat"] == lat_max)) & (
-            (v["lng"] == lng_min) | (v["lng"] == lng_max)
+    for i in range(4):
+        c = ((pa[i] == lat_min) | (pa[i] == lat_max)) & (
+            (po[i] == lng_min) | (po[i] == lng_max)
         )
         on_corner = c if on_corner is None else on_corner & c
     steps_ok = None
-    for a, b in zip(quad, quad[1:] + quad[:1]):
+    for i in range(4):
+        j = (i + 1) % 4
         one_coord = (
-            (a["lat"] == b["lat"]).cast("int") + (a["lng"] == b["lng"]).cast("int")
+            (pa[i] == pa[j]).cast("int") + (po[i] == po[j]).cast("int")
         ) == 1
         steps_ok = one_coord if steps_ok is None else steps_ok & one_coord
     distinct_ok = None
     for i in range(4):
         for j in range(i + 1, 4):
-            ne = (quad[i]["lat"] != quad[j]["lat"]) | (
-                quad[i]["lng"] != quad[j]["lng"]
-            )
+            ne = (pa[i] != pa[j]) | (po[i] != po[j])
             distinct_ok = ne if distinct_ok is None else distinct_ok & ne
     return F.coalesce(
         size_ok
@@ -288,16 +291,32 @@ def point_in_polygon_join(
     rect_hits = cand.filter(F.col("__rect")).select(point_id, poly_id)
     rest = cand.filter(~F.col("__rect"))
 
+    n_nonrect = None
     if broadcast_polys is None:
+        # ONE bounded probe job decides both (a) broadcastability and (b)
+        # whether the Python refinement branch can receive any rows at all —
+        # an all-rectangle workload (the raster↔vector tiling case) then
+        # never runs a polygon collect() or a mapInPandas stage.
+        pb = footprint_bbox(polygons.select(poly_id, fp), fp)
         probe = (
-            polygons.select(F.size(F.col(fp)).alias("nv"))
+            pb.select(
+                F.size(F.col(fp)).alias("nv"),
+                _is_axis_rect_expr(
+                    F.col(fp), F.col("lat_min"), F.col("lat_max"),
+                    F.col("lng_min"), F.col("lng_max"),
+                ).alias("rect"),
+            )
             .limit(BROADCAST_POLY_LIMIT + 1)
             .collect()
         )
+        if len(probe) <= BROADCAST_POLY_LIMIT:
+            n_nonrect = sum(0 if r["rect"] else 1 for r in probe)
         broadcast_polys = (
             len(probe) <= BROADCAST_POLY_LIMIT
             and sum(r["nv"] for r in probe) <= BROADCAST_VERTEX_LIMIT
         )
+    if n_nonrect == 0:
+        return rect_hits
 
     rest_cols = [
         F.col(point_id),
@@ -323,12 +342,21 @@ def point_in_polygon_join(
     dtypes = dict(rest.dtypes)
     out_schema = f"{point_id} {dtypes[point_id]}, {poly_id} {dtypes[poly_id]}"
     if broadcast_polys:
+        # only NON-rect polygons can reach the refinement kernel — collect
+        # just those (rect footprints were fully decided by the prefilter)
+        pb = footprint_bbox(polygons.select(poly_id, fp), fp)
+        nonrect = pb.filter(
+            ~_is_axis_rect_expr(
+                F.col(fp), F.col("lat_min"), F.col("lat_max"),
+                F.col("lng_min"), F.col("lng_max"),
+            )
+        )
         poly_map = {
             r[poly_id]: (
                 np.array([p["lat"] for p in r[fp]], dtype=np.float64),
                 np.array([p["lng"] for p in r[fp]], dtype=np.float64),
             )
-            for r in polygons.select(poly_id, fp).collect()
+            for r in nonrect.select(poly_id, fp).collect()
         }
         kernel = _refine_kernel_broadcast([point_id, poly_id], sc.broadcast(poly_map))
     else:

@@ -87,6 +87,61 @@ def test_cell_expr_stays_in_codegen(spark):
     assert "*(1) Project" in p
 
 
+def test_knn_no_dedup_shuffle(spark):
+    """knn_join candidate pairs are unique by construction (grid_disk is
+    array_distinct per query), so the plan must have no dedup aggregate and
+    only two exchanges: the broadcast of the disk side and the window's
+    hash partition (round-2 verdict finding #3)."""
+    from navgraph_osm_spark.operators.knn import knn_join
+
+    pts = Q.points_df(spark, SF)
+    q = pts.filter(F.col("point_id") <= 40).select(
+        F.col("point_id").alias("query_id"), "lat", "lng"
+    )
+    p = plan_of(knn_join(pts, q, k=5, res=6, ring=3), mode="simple")
+    assert "HashAggregate" not in p, p
+    assert p.count("Exchange") <= 2, p
+    assert "WindowGroupLimit" in p  # partial top-k before the shuffle
+
+
+def test_adaptive_split_single_data_aggregation(spark):
+    """adaptive_cell_split aggregates the full data set exactly once (the
+    finest histogram); the returned plan is one scan joined to the
+    checkpointed mapping — no per-level aggregation over the data
+    (round-2 verdict finding #4)."""
+    from navgraph_osm_spark.operators.skew import adaptive_cell_split
+
+    out = adaptive_cell_split(
+        Q.points_df(spark, SF), res=6, threshold=100, max_extra_levels=3
+    )
+    p = plan_of(out, mode="simple")
+    assert "HashAggregate" not in p, p
+    assert "ExistingRDD" in p  # mapping comes from the checkpointed descent
+    assert p.count("FileScan") == 1
+
+
+def test_pip_join_codegen_hard_fail(spark):
+    """sp_pip_join must execute with ZERO codegen fallbacks.
+
+    The rect-detection predicate once tripped a Janino null-tracking bug
+    (`Expression "isNull_*" is not an rvalue`) and silently ran interpreted
+    (round-2 verdict finding #1).  CODEGEN_ONLY turns any expression-codegen
+    compile failure into a hard error, and fallback=false does the same for
+    whole-stage codegen — so this test fails loudly if the bug pattern
+    returns.
+    """
+    saved_factory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    saved_fallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try:
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        df = Q.queries()["sp_pip_join"](spark, SF)
+        df.count()  # any compile failure now raises instead of degrading
+    finally:
+        spark.conf.set("spark.sql.codegen.factoryMode", saved_factory)
+        spark.conf.set("spark.sql.codegen.fallback", saved_fallback)
+
+
 def test_dedup_exact_partial_aggregation(spark):
     """Exact dedup is one groupBy with map-side partial agg (two HashAggregate
     nodes around one Exchange)."""
