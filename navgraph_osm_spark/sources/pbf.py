@@ -1,0 +1,719 @@
+"""Real ``.osm.pbf`` ingestion — the reference's actual input format.
+
+The reference walks the ``[be_u32 len][BlobHeader][Blob]`` framing on one
+producer thread and hands blob byte-ranges to parallel workers that
+decompress and parse PrimitiveBlocks (reference
+include/mt/parse/producer.hpp:14-44, include/mt/parse/worker.hpp:52-72,
+fixed-point conversion include/parsing/primitive-block-parser.cpp:4-7).
+This module reproduces that split Spark-side, with the same architecture as
+sources/framed.py: a header-only manifest walk (S1) feeding an Arrow-batched
+``mapInPandas`` decode (S2-S4).
+
+Everything here derives from PUBLIC format documentation: the protobuf wire
+encoding (varint / zigzag / length-delimited fields) and the OSM PBF schema
+(fileformat.proto / osmformat.proto field numbers, published on the
+OpenStreetMap wiki).  No protobuf library is required — packed varint
+arrays are decoded with vectorized numpy (terminator-bit scan +
+``np.add.reduceat``), so DenseNodes blocks never loop in Python.
+
+Supported schema subset (everything the reference consumes):
+
+- BlobHeader{1:type, 3:datasize}; Blob{1:raw, 2:raw_size, 3:zlib_data}
+- PrimitiveBlock{1:stringtable, 2:primitivegroup, 17:granularity,
+  19:lat_offset, 20:lon_offset}
+- PrimitiveGroup{1:nodes, 2:dense, 3:ways, 4:relations}
+- DenseNodes{1:id(sint64 Δ), 8:lat(sint64 Δ), 9:lon(sint64 Δ),
+  10:keys_vals}; Node{1:id, 2:keys, 3:vals, 8:lat, 9:lon}
+- Way{1:id, 2:keys, 3:vals, 8:refs(sint64 Δ)}
+- Relation{1:id, 2:keys, 3:vals, 8:roles_sid, 9:memids(sint64 Δ), 10:types}
+
+Coordinates follow the reference's convertCoord exactly:
+``deg = (offset + granularity * raw) / 1e9``.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NODES_SCHEMA = "id long, lat double, lng double"
+NODE_TAGS_SCHEMA = "id long, tags map<string,string>"
+WAYS_SCHEMA = "id long, tags map<string,string>"
+# Arrow kernels emit key/value entry arrays (this pyarrow cannot build
+# MapType from pandas); scan_pbf converts with map_from_entries JVM-side
+_KV = "array<struct<key:string,value:string>>"
+_KERNEL_SCHEMAS = {
+    "node_tags": f"id long, tags {_KV}",
+    "ways": f"id long, tags {_KV}",
+    "relation_tags": f"rel_id long, tags {_KV}",
+}
+WAY_NODES_SCHEMA = "way_id long, seq int, node_id long"
+REL_MEMBERS_SCHEMA = (
+    "rel_id long, seq int, member_type string, role string, member_id long"
+)
+REL_TAGS_SCHEMA = "rel_id long, tags map<string,string>"
+
+_MEMBER_TYPES = ("node", "way", "relation")  # osmformat.proto MemberType enum
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives (numpy-vectorized where arrays are involved)
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Scalar varint (message walking only — array fields use numpy)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def decode_packed_uvarints(b: np.ndarray) -> np.ndarray:
+    """Packed varint field bytes → uint64 values, fully vectorized.
+
+    Terminator bytes have the high bit clear; group positions come from the
+    terminator scan, per-byte contributions are shifted into place and
+    summed per group with ``np.add.reduceat``.
+    """
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term = (b & 0x80) == 0
+    ends = np.flatnonzero(term)
+    starts = np.empty(ends.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - np.repeat(
+        starts, ends - starts + 1
+    )
+    vals = (b & 0x7F).astype(np.uint64) << (7 * pos_in_group).astype(np.uint64)
+    return np.add.reduceat(vals, starts)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(
+        (u & np.uint64(1)).astype(np.int64)
+    )
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def encode_packed_uvarints(u: np.ndarray) -> bytes:
+    """uint64 values → packed varint bytes, fully vectorized."""
+    u = np.asarray(u, dtype=np.uint64)
+    if u.size == 0:
+        return b""
+    nb = np.ones(u.size, dtype=np.int64)
+    tmp = u >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for i in range(10):
+        mask = nb > i
+        if not mask.any():
+            break
+        chunk = ((u[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > i).astype(np.uint8) << 7
+        out[starts[mask] + i] = chunk | cont
+    return out.tobytes()
+
+
+def _fields(buf, pos: int, end: int):
+    """Walk one protobuf message: yields (field_number, wire_type, value).
+
+    wire type 0 → int value; 2 → (offset, length) into buf; 1/5 skipped.
+    """
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = (pos, ln)
+            pos += ln
+        elif wt == 1:
+            val = None
+            pos += 8
+        elif wt == 5:
+            val = None
+            pos += 4
+        else:  # pragma: no cover - groups (wt 3/4) are absent from OSM PBF
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fnum, wt, val
+
+
+def _packed(buf: bytes, wt: int, val) -> np.ndarray:
+    """A repeated scalar field: packed (wt2) or a single unpacked value."""
+    if wt == 2:
+        off, ln = val
+        return decode_packed_uvarints(np.frombuffer(buf, np.uint8, ln, off))
+    return np.array([val], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + driver-query input; deterministic)
+# ---------------------------------------------------------------------------
+
+def _enc_tag(fnum: int, wt: int) -> bytes:
+    return encode_packed_uvarints(np.array([(fnum << 3) | wt], dtype=np.uint64))
+
+
+def _enc_varint_field(fnum: int, v: int) -> bytes:
+    return _enc_tag(fnum, 0) + encode_packed_uvarints(
+        np.array([v], dtype=np.uint64)
+    )
+
+
+def _enc_bytes_field(fnum: int, b: bytes) -> bytes:
+    return (
+        _enc_tag(fnum, 2)
+        + encode_packed_uvarints(np.array([len(b)], dtype=np.uint64))
+        + b
+    )
+
+
+def _enc_packed_field(fnum: int, vals: np.ndarray, zigzag: bool = False) -> bytes:
+    u = _zigzag(vals) if zigzag else np.asarray(vals, dtype=np.uint64)
+    return _enc_bytes_field(fnum, encode_packed_uvarints(u))
+
+
+class _StringTable:
+    """Per-block string table; entry 0 is the empty string (keys_vals
+    terminator), as required by the format."""
+
+    def __init__(self) -> None:
+        self._idx: dict[str, int] = {"": 0}
+        self._items: list[str] = [""]
+
+    def add(self, s: str) -> int:
+        i = self._idx.get(s)
+        if i is None:
+            i = len(self._items)
+            self._idx[s] = i
+            self._items.append(s)
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(
+            _enc_bytes_field(1, s.encode("utf-8")) for s in self._items
+        )
+
+
+def _frame(type_str: str, payload: bytes, compress: bool = True) -> bytes:
+    """payload (PrimitiveBlock / HeaderBlock bytes) → framed blob bytes."""
+    if compress:
+        blob = _enc_varint_field(2, len(payload)) + _enc_bytes_field(
+            3, zlib.compress(payload, 6)
+        )
+    else:
+        blob = _enc_bytes_field(1, payload) + _enc_varint_field(2, len(payload))
+    header = _enc_bytes_field(1, type_str.encode()) + _enc_varint_field(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def write_osm_pbf(
+    path: str,
+    nodes: tuple | None = None,
+    ways: Iterable[tuple] | None = None,
+    relations: Iterable[tuple] | None = None,
+    block_size: int = 8000,
+    granularity: int = 100,
+    lat_offset: int = 0,
+    lon_offset: int = 0,
+) -> int:
+    """Write a valid .osm.pbf: OSMHeader + DenseNodes/Way/Relation data blobs.
+
+    - ``nodes``: (ids, lats_deg, lngs_deg[, tags]) arrays; ``tags`` an
+      optional sequence of dicts (or None entries);
+    - ``ways``: iterable of (way_id, tags_dict, refs_array);
+    - ``relations``: iterable of (rel_id, tags_dict,
+      members=[(type_str, member_id, role_str), ...]).
+
+    Returns the number of data blobs written.  Coordinates must be
+    representable at the granularity (OSM default: 100 nano-degrees).
+    """
+    n_blobs = 0
+    with open(path, "wb") as f:
+        hdr = _enc_bytes_field(4, b"OsmSchema-V0.6") + _enc_bytes_field(
+            4, b"DenseNodes"
+        )
+        f.write(_frame("OSMHeader", hdr))
+
+        if nodes is not None:
+            ids = np.asarray(nodes[0], dtype=np.int64)
+            lats = np.asarray(nodes[1], dtype=np.float64)
+            lngs = np.asarray(nodes[2], dtype=np.float64)
+            tags = nodes[3] if len(nodes) > 3 else None
+            lat_raw = np.round(lats * 1e9 - lat_offset).astype(np.int64)
+            lng_raw = np.round(lngs * 1e9 - lon_offset).astype(np.int64)
+            if (lat_raw % granularity).any() or (lng_raw % granularity).any():
+                raise ValueError(
+                    f"coordinates not representable at granularity {granularity}"
+                )
+            lat_raw //= granularity
+            lng_raw //= granularity
+            for lo in range(0, ids.size, block_size):
+                hi = min(lo + block_size, ids.size)
+                st = _StringTable()
+                dense = (
+                    _enc_packed_field(1, np.diff(ids[lo:hi], prepend=np.int64(0)), True)
+                    + _enc_packed_field(
+                        8, np.diff(lat_raw[lo:hi], prepend=np.int64(0)), True
+                    )
+                    + _enc_packed_field(
+                        9, np.diff(lng_raw[lo:hi], prepend=np.int64(0)), True
+                    )
+                )
+                if tags is not None:
+                    kv: list[int] = []
+                    for t in tags[lo:hi]:
+                        for k, v in (t or {}).items():
+                            kv.append(st.add(k))
+                            kv.append(st.add(v))
+                        kv.append(0)
+                    dense += _enc_packed_field(10, np.array(kv, dtype=np.int64))
+                # PrimitiveGroup content: DenseNodes at group field 2
+                group = _enc_bytes_field(2, dense)
+                f.write(_frame("OSMData", _block(st, group, granularity,
+                                                 lat_offset, lon_offset)))
+                n_blobs += 1
+
+        for kind, items in (("way", ways), ("relation", relations)):
+            if items is None:
+                continue
+            items = list(items)
+            for lo in range(0, len(items), block_size):
+                st = _StringTable()
+                msgs = []
+                for item in items[lo : lo + block_size]:
+                    if kind == "way":
+                        way_id, wtags, refs = item
+                        body = _enc_varint_field(1, way_id)
+                        body += _enc_packed_field(
+                            2, np.array([st.add(k) for k in wtags], dtype=np.int64)
+                        )
+                        body += _enc_packed_field(
+                            3,
+                            np.array([st.add(v) for v in wtags.values()], dtype=np.int64),
+                        )
+                        body += _enc_packed_field(
+                            8,
+                            np.diff(np.asarray(refs, np.int64), prepend=np.int64(0)),
+                            True,
+                        )
+                        msgs.append(_enc_bytes_field(3, body))
+                    else:
+                        rel_id, rtags, members = item
+                        body = _enc_varint_field(1, rel_id)
+                        body += _enc_packed_field(
+                            2, np.array([st.add(k) for k in rtags], dtype=np.int64)
+                        )
+                        body += _enc_packed_field(
+                            3,
+                            np.array([st.add(v) for v in rtags.values()], dtype=np.int64),
+                        )
+                        body += _enc_packed_field(
+                            8,
+                            np.array([st.add(m[2]) for m in members], dtype=np.int64),
+                        )
+                        body += _enc_packed_field(
+                            9,
+                            np.diff(
+                                np.array([m[1] for m in members], dtype=np.int64),
+                                prepend=np.int64(0),
+                            ),
+                            True,
+                        )
+                        body += _enc_packed_field(
+                            10,
+                            np.array(
+                                [_MEMBER_TYPES.index(m[0]) for m in members],
+                                dtype=np.int64,
+                            ),
+                        )
+                        msgs.append(_enc_bytes_field(4, body))
+                # PrimitiveGroup content: Way/Relation messages already
+                # carry their group field tags (3/4)
+                group = b"".join(msgs)
+                f.write(_frame("OSMData", _block(st, group, granularity,
+                                                 lat_offset, lon_offset)))
+                n_blobs += 1
+    return n_blobs
+
+
+def _block(st: _StringTable, group: bytes, granularity: int,
+           lat_offset: int, lon_offset: int) -> bytes:
+    out = _enc_bytes_field(1, st.encode()) + _enc_bytes_field(2, group)
+    if granularity != 100:
+        out += _enc_varint_field(17, granularity)
+    if lat_offset:
+        out += _enc_varint_field(19, lat_offset)
+    if lon_offset:
+        out += _enc_varint_field(20, lon_offset)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def pbf_manifest(path: str) -> list[tuple[int, int, str]]:
+    """S1 header walk: (blob_offset, blob_length, type) per blob.
+
+    Reads only the 4-byte lengths and BlobHeaders, seek-skipping every blob
+    payload — the reference producer's exact role (producer.hpp:14-44,
+    including its skip of non-OSMData blobs, which here is the caller's
+    filter on ``type``).
+    """
+    out: list[tuple[int, int, str]] = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            (hlen,) = struct.unpack(">I", f.read(4))
+            pos += 4
+            hdr = f.read(hlen)
+            pos += hlen
+            btype, dsize = "", 0
+            for fnum, wt, val in _fields(hdr, 0, hlen):
+                if fnum == 1 and wt == 2:
+                    btype = hdr[val[0] : val[0] + val[1]].decode()
+                elif fnum == 3 and wt == 0:
+                    dsize = val
+            out.append((pos, dsize, btype))
+            pos += dsize
+            f.seek(pos)
+    return out
+
+
+def _decompress_blob(buf: bytes) -> bytes:
+    """Blob message → PrimitiveBlock bytes (raw or zlib; worker.hpp:58-66)."""
+    raw = zdata = None
+    raw_size = 0
+    for fnum, wt, val in _fields(buf, 0, len(buf)):
+        if fnum == 1 and wt == 2:
+            raw = buf[val[0] : val[0] + val[1]]
+        elif fnum == 2 and wt == 0:
+            raw_size = val
+        elif fnum == 3 and wt == 2:
+            zdata = buf[val[0] : val[0] + val[1]]
+    if raw is not None:
+        return raw
+    if zdata is not None:
+        out = zlib.decompress(zdata)
+        if raw_size and len(out) != raw_size:
+            raise ValueError("blob raw_size mismatch")
+        return out
+    raise ValueError("unsupported blob compression")
+
+
+def _signed_packed(buf: bytes, wt: int, val) -> np.ndarray:
+    return _unzigzag(_packed(buf, wt, val))
+
+
+def parse_primitive_block(data: bytes) -> dict:
+    """PrimitiveBlock bytes → decoded entities (numpy arrays / lists).
+
+    Returns dict with keys: ``nodes`` (ids, lats, lngs, tag_dicts|None),
+    ``ways`` (list of (id, tags, refs)), ``relations`` (list of
+    (id, tags, roles, memids, types)).
+    """
+    strings: list[str] = []
+    groups: list[tuple[int, int]] = []
+    granularity, lat_offset, lon_offset = 100, 0, 0
+    for fnum, wt, val in _fields(data, 0, len(data)):
+        if fnum == 1 and wt == 2:
+            for sf, swt, sval in _fields(data, val[0], val[0] + val[1]):
+                if sf == 1 and swt == 2:
+                    strings.append(
+                        data[sval[0] : sval[0] + sval[1]].decode("utf-8")
+                    )
+        elif fnum == 2 and wt == 2:
+            groups.append(val)
+        elif fnum == 17:
+            granularity = val
+        elif fnum == 19:
+            lat_offset = val
+        elif fnum == 20:
+            lon_offset = val
+
+    def conv(raw: np.ndarray, offset: int) -> np.ndarray:
+        # reference convertCoord (primitive-block-parser.cpp:4-7)
+        return (offset + granularity * raw.astype(np.float64)) / 1e9
+
+    node_ids: list[np.ndarray] = []
+    node_lats: list[np.ndarray] = []
+    node_lngs: list[np.ndarray] = []
+    node_tags: list = []
+    ways: list[tuple] = []
+    relations: list[tuple] = []
+
+    for goff, glen in groups:
+        for fnum, wt, val in _fields(data, goff, goff + glen):
+            if fnum == 2 and wt == 2:  # DenseNodes
+                ids = lats = lngs = None
+                kv = None
+                for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
+                    if df_ == 1:
+                        ids = np.cumsum(_signed_packed(data, dwt, dval))
+                    elif df_ == 8:
+                        lats = np.cumsum(_signed_packed(data, dwt, dval))
+                    elif df_ == 9:
+                        lngs = np.cumsum(_signed_packed(data, dwt, dval))
+                    elif df_ == 10:
+                        kv = _packed(data, dwt, dval).astype(np.int64)
+                if ids is not None:
+                    node_ids.append(ids)
+                    node_lats.append(conv(lats, lat_offset))
+                    node_lngs.append(conv(lngs, lon_offset))
+                    node_tags.append(_split_keys_vals(kv, len(ids), strings))
+            elif fnum == 1 and wt == 2:  # plain Node
+                nid = rlat = rlng = 0
+                keys = vals = None
+                for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
+                    if df_ == 1:
+                        nid = int(_unzigzag(np.array([dval], np.uint64))[0])
+                    elif df_ == 2:
+                        keys = _packed(data, dwt, dval)
+                    elif df_ == 3:
+                        vals = _packed(data, dwt, dval)
+                    elif df_ == 8:
+                        rlat = int(_unzigzag(np.array([dval], np.uint64))[0])
+                    elif df_ == 9:
+                        rlng = int(_unzigzag(np.array([dval], np.uint64))[0])
+                node_ids.append(np.array([nid], dtype=np.int64))
+                node_lats.append(conv(np.array([rlat]), lat_offset))
+                node_lngs.append(conv(np.array([rlng]), lon_offset))
+                t = _tags_of(keys, vals, strings)
+                node_tags.append([t] if t else [None])
+            elif fnum == 3 and wt == 2:  # Way
+                wid = 0
+                keys = vals = refs = None
+                for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
+                    if df_ == 1:
+                        wid = dval
+                    elif df_ == 2:
+                        keys = _packed(data, dwt, dval)
+                    elif df_ == 3:
+                        vals = _packed(data, dwt, dval)
+                    elif df_ == 8:
+                        refs = np.cumsum(_signed_packed(data, dwt, dval))
+                ways.append((wid, _tags_of(keys, vals, strings),
+                             refs if refs is not None else np.empty(0, np.int64)))
+            elif fnum == 4 and wt == 2:  # Relation
+                rid = 0
+                keys = vals = roles = memids = types = None
+                for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
+                    if df_ == 1:
+                        rid = dval
+                    elif df_ == 2:
+                        keys = _packed(data, dwt, dval)
+                    elif df_ == 3:
+                        vals = _packed(data, dwt, dval)
+                    elif df_ == 8:
+                        roles = _packed(data, dwt, dval).astype(np.int64)
+                    elif df_ == 9:
+                        memids = np.cumsum(_signed_packed(data, dwt, dval))
+                    elif df_ == 10:
+                        types = _packed(data, dwt, dval).astype(np.int64)
+                relations.append(
+                    (
+                        rid,
+                        _tags_of(keys, vals, strings),
+                        [strings[r] for r in (roles if roles is not None else [])],
+                        memids if memids is not None else np.empty(0, np.int64),
+                        types if types is not None else np.empty(0, np.int64),
+                    )
+                )
+
+    nodes = (
+        np.concatenate(node_ids) if node_ids else np.empty(0, np.int64),
+        np.concatenate(node_lats) if node_lats else np.empty(0, np.float64),
+        np.concatenate(node_lngs) if node_lngs else np.empty(0, np.float64),
+        [t for block in node_tags for t in block] if node_tags else [],
+    )
+    return {"nodes": nodes, "ways": ways, "relations": relations}
+
+
+def _tags_of(keys, vals, strings: list[str]) -> dict[str, str]:
+    if keys is None or vals is None:
+        return {}
+    return {strings[int(k)]: strings[int(v)] for k, v in zip(keys, vals)}
+
+
+def _split_keys_vals(kv: np.ndarray | None, n: int, strings: list[str]) -> list:
+    """DenseNodes keys_vals: alternating key/val indices, 0-terminated per
+    node; absent/empty means no node has tags."""
+    if kv is None or kv.size == 0:
+        return [None] * n
+    out: list = []
+    i = 0
+    for _ in range(n):
+        t: dict[str, str] | None = None
+        while i < kv.size and kv[i] != 0:
+            t = t or {}
+            t[strings[int(kv[i])]] = strings[int(kv[i + 1])]
+            i += 2
+        i += 1  # skip the 0 terminator
+        out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark scans (manifest → parallel byte-range decode, as framed.py)
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(path: str, entity: str):
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                for off, ln in zip(pdf["offset"], pdf["length"]):
+                    f.seek(int(off))
+                    block = parse_primitive_block(
+                        _decompress_blob(f.read(int(ln)))
+                    )
+                    yield _entity_frame(block, entity)
+
+    return _decode
+
+
+def _as_map(d: dict | None) -> list:
+    """Tag dict → list of {key, value} structs (map built JVM-side)."""
+    return [{"key": k, "value": v} for k, v in (d or {}).items()]
+
+
+def _entity_frame(block: dict, entity: str) -> pd.DataFrame:
+    ids, lats, lngs, tags = block["nodes"]
+    if entity == "nodes":
+        return pd.DataFrame({"id": ids, "lat": lats, "lng": lngs})
+    if entity == "node_tags":
+        keep = [i for i, t in enumerate(tags) if t]
+        return pd.DataFrame(
+            {
+                "id": ids[keep],
+                # dtype=object even when EMPTY (a node-only blob answering a
+                # tags scan): pandas defaults empty columns to float64, which
+                # Arrow cannot convert to a nested type
+                "tags": pd.Series([_as_map(tags[i]) for i in keep], dtype="object"),
+            }
+        )
+    if entity == "ways":
+        return pd.DataFrame(
+            {
+                "id": pd.array([w[0] for w in block["ways"]], dtype="int64"),
+                "tags": pd.Series(
+                    [_as_map(w[1]) for w in block["ways"]], dtype="object"
+                ),
+            }
+        )
+    if entity == "way_nodes":
+        if not block["ways"]:
+            return pd.DataFrame(
+                {
+                    "way_id": np.empty(0, np.int64),
+                    "seq": np.empty(0, np.int32),
+                    "node_id": np.empty(0, np.int64),
+                }
+            )
+        wids = [w[0] for w in block["ways"]]
+        counts = np.array([w[2].size for w in block["ways"]], dtype=np.int64)
+        refs = np.concatenate([w[2] for w in block["ways"]])
+        seq = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        ) + 1
+        return pd.DataFrame(
+            {
+                "way_id": np.repeat(np.array(wids, dtype=np.int64), counts),
+                "seq": seq.astype(np.int32),
+                "node_id": refs,
+            }
+        )
+    if entity == "relation_members":
+        rows = {"rel_id": [], "seq": [], "member_type": [], "role": [],
+                "member_id": []}
+        for rid, _tags, roles, memids, types in block["relations"]:
+            for i, (role, mid, mt) in enumerate(zip(roles, memids, types)):
+                rows["rel_id"].append(rid)
+                rows["seq"].append(i)
+                rows["member_type"].append(_MEMBER_TYPES[int(mt)])
+                rows["role"].append(role)
+                rows["member_id"].append(int(mid))
+        return pd.DataFrame(rows).astype(
+            {"rel_id": "int64", "seq": "int32", "member_id": "int64"}
+        )
+    if entity == "relation_tags":
+        return pd.DataFrame(
+            {
+                "rel_id": pd.array(
+                    [r[0] for r in block["relations"]], dtype="int64"
+                ),
+                "tags": pd.Series(
+                    [_as_map(r[1]) for r in block["relations"]], dtype="object"
+                ),
+            }
+        )
+    raise ValueError(f"unknown entity {entity!r}")
+
+
+_ENTITY_SCHEMAS = {
+    "nodes": NODES_SCHEMA,
+    "node_tags": NODE_TAGS_SCHEMA,
+    "ways": WAYS_SCHEMA,
+    "way_nodes": WAY_NODES_SCHEMA,
+    "relation_members": REL_MEMBERS_SCHEMA,
+    "relation_tags": REL_TAGS_SCHEMA,
+}
+
+
+def scan_pbf(
+    spark: SparkSession, path: str, entity: str, partitions: int | None = None
+) -> DataFrame:
+    """.osm.pbf → entity DataFrame (nodes / node_tags / ways / way_nodes /
+    relation_members / relation_tags).
+
+    The tiny (offset, length) manifest is parallelized; each task reads and
+    decodes only its own blob byte ranges — at 100 TB the manifest for
+    16 MB blobs is a few million rows of driver state, the same single
+    producer + N workers split as the reference (and framed.py).
+    """
+    schema = _ENTITY_SCHEMAS[entity]
+    manifest = [m for m in pbf_manifest(path) if m[2] == "OSMData"]
+    if not manifest:
+        return spark.createDataFrame([], schema)
+    parts = partitions or spark.sparkContext.defaultParallelism
+    mdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(m[0], m[1]) for m in manifest], columns=["offset", "length"]
+        )
+    ).repartition(min(parts, len(manifest)))
+    kschema = _KERNEL_SCHEMAS.get(entity, schema)
+    out = mdf.mapInPandas(_decode_kernel(path, entity), schema=kschema)
+    if entity in _KERNEL_SCHEMAS:
+        other = [c for c in out.columns if c != "tags"]
+        out = out.select(*other, F.map_from_entries("tags").alias("tags"))
+    return out
+
+
+def load_osm_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """All graph-build inputs from one .osm.pbf: nodes / ways / way_nodes /
+    relation_members / relation_tags (column shapes match
+    operators.graph_build and operators.relations directly)."""
+    return {e: scan_pbf(spark, path, e) for e in
+            ("nodes", "ways", "way_nodes", "relation_members", "relation_tags")}
