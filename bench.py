@@ -148,19 +148,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         flagship_job(spark, n_images=256)
         plan_warm_s = round(time.time() - t_w, 3)
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     t_total0 = time.time()
     # best-of-2 per query: this sandbox VM shows multi-second host-noise
     # spikes (CPU steal); the minimum of two runs is the standard
-    # least-noise latency estimate.  Disclosed as timing: min_of_2.
+    # least-noise latency estimate.  Disclosed as timing: min_of_2, with
+    # EVERY raw run time in queries_raw so round-over-round deltas can
+    # never be attributed to clocking changes.
     for name in names:
-        best = None
+        raw[name] = []
         for _ in range(2):
             t0 = time.time()
             rows[name] = qs[name](spark, sf_dir).count()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            raw[name].append(round(time.time() - t0, 3))
+        timings[name] = min(raw[name])
     # spatial throughput probe: flagship image job at bench scale
     t0 = time.time()
     fj = flagship_job(spark, n_images=20000)
@@ -175,6 +177,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "wall_s": round(time.time() - t_total0, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_raw": raw,
         "sf": sf_dir,
         "rows": rows,
         "spatial_join_rows_per_sec": round(spatial_rows / flag_s, 1),
@@ -260,13 +263,31 @@ def _append_baseline_md(rep: dict) -> None:
         )
         lines.append("|---|---|---|---|---|---|---|---|")
     s, l = rep["small"], rep["large"]
-    lines.append(
+    row = (
         f"| {time.strftime('%Y-%m-%d %H:%M')} | {s['n_images']} | {s['cpus']} | "
         f"{s['elapsed_s']} | {l['cpus']} | {l['elapsed_s']} | {rep['speedup']} | "
         f"**{rep['value']}** |"
     )
-    with open(path, "a") as f:
-        f.write("\n".join(lines) + "\n")
+    if lines:  # fresh file: header + first row
+        with open(path, "a") as f:
+            f.write("\n".join([*lines, row]) + "\n")
+        return
+    # existing file: insert INTO the scaling table (appending at EOF would
+    # detach the row from its header once prose sections follow the table)
+    with open(path) as f:
+        content = f.read().split("\n")
+    try:
+        hi = next(
+            i for i, ln in enumerate(content) if ln.startswith("| date | images | N cores")
+        )
+        j = hi + 2
+        while j < len(content) and content[j].startswith("|"):
+            j += 1
+        content.insert(j, row)
+    except StopIteration:
+        content.append(row)
+    with open(path, "w") as f:
+        f.write("\n".join(content))
 
 
 def main() -> None:

@@ -88,9 +88,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             spark, warehouse, tables, res=args.res, resume=not args.no_resume
         )
         if args.output_csv:
-            out["export"].write.mode("overwrite").option("header", True).csv(
-                args.output_csv
-            )
+            # emit the reference's exact 9-column row shape (the midpoint
+            # columns on export_rows are oracle-internal)
+            from navgraph_osm_spark.operators.export import REFERENCE_CSV_COLUMNS
+
+            out["export"].select(*REFERENCE_CSV_COLUMNS).write.mode(
+                "overwrite"
+            ).option("header", True).csv(args.output_csv)
         # the reference's stderr counters (filestat.hpp:7-20, main.cpp:204-222)
         counts = out["counts"].first().asDict()
         counts["expanded_edges"] = out["turns"].count()

@@ -59,17 +59,35 @@ def _shingle_array_expr(text: F.Column, n: int = 3) -> F.Column:
     )
 
 
+MAX_AUTO_HASHES = 512
+
+
 def _band_rows_for_threshold(
     threshold: float, num_hashes: int, miss_target: float = 1e-6
-) -> int:
-    """Largest rows-per-band r such that a pair at exactly ``threshold``
-    Jaccard collides in ≥1 of the num_hashes//r bands with probability
-    ≥ 1 - miss_target (the standard (1-s^r)^b LSH recall curve)."""
-    for r in (4, 3, 2, 1):
+) -> tuple[int, int]:
+    """(rows_per_band r, num_hashes) such that a pair at exactly
+    ``threshold`` Jaccard collides in ≥1 of the num_hashes//r bands with
+    probability ≥ 1 - miss_target (the standard (1-s^r)^b LSH recall
+    curve) — with r ≥ 2 ALWAYS.
+
+    r = 1 buckets key on a single MinHash value, so any two docs sharing
+    the min for one hash become a candidate pair; on real corpora with
+    common shingles that approaches corpus-wide buckets (a quadratic
+    block).  When the requested num_hashes cannot satisfy the miss target
+    at r ≥ 2 (low thresholds), num_hashes is RAISED (up to
+    ``MAX_AUTO_HASHES``) instead of degrading to r = 1; past the cap the
+    miss target itself is relaxed — recall degrades gracefully, the
+    blocking never goes quadratic.
+    """
+    import math
+
+    for r in (4, 3, 2):
         b = num_hashes // r
-        if (1.0 - threshold**r) ** b <= miss_target:
-            return r
-    return 1
+        if b and (1.0 - threshold**r) ** b <= miss_target:
+            return r, num_hashes
+    # raise num_hashes until r=2 satisfies the target (b = ceil bound)
+    b_needed = math.ceil(math.log(miss_target) / math.log(1.0 - threshold**2))
+    return 2, min(2 * b_needed, MAX_AUTO_HASHES)
 
 
 def ngram_jaccard_pairs(
@@ -110,7 +128,7 @@ def ngram_jaccard_pairs(
         )
         pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
     else:
-        rows_per_band = _band_rows_for_threshold(threshold, num_hashes)
+        rows_per_band, num_hashes = _band_rows_for_threshold(threshold, num_hashes)
         bands = num_hashes // rows_per_band
         sigs = with_minhash(
             docs, num_hashes, n=n, seed=seed, id_col=id_col, text_col=text_col

@@ -13,8 +13,9 @@ node → midpoint(target edge) (reference generate.hpp:187-216, midpoints
 geomath.cpp:77-97).
 
 J10's offset joins become two DataFrame joins on edge id; the geometry
-midpoint interpolation runs in one Arrow-batched pandas UDF; the final
-string assembly is ``format_number``/``concat_ws`` column expressions.
+midpoint interpolation runs in one ``mapInArrow`` kernel vectorized over
+the ListArray offsets (zero per-row Python); the final string assembly is
+``format_number``/``concat_ws`` column expressions.
 """
 
 from __future__ import annotations
@@ -22,43 +23,145 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from navgraph_osm_spark.functions.geo import find_middle_point_np
 
 _HALF_SCHEMA = "edge_id long, half_out array<struct<lat:double,lng:double>>, half_in array<struct<lat:double,lng:double>>"
 
 
-def _halves_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _excl_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.empty(x.size, dtype=np.int64)
+    if x.size:
+        out[0] = 0
+        np.cumsum(x[:-1], out=out[1:])
+    return out
+
+
+def _halves_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Per edge: polyline from its midpoint to its end (``half_out``) and
-    from its start to its midpoint (``half_in``)."""
-    for pdf in batches:
-        out_rows = []
-        for edge_id, geom in zip(pdf["edge_id"], pdf["geom"]):
-            lats = np.array([p["lat"] for p in geom])
-            lngs = np.array([p["lng"] for p in geom])
-            mlat, mlng = find_middle_point_np(lats, lngs)
-            legs = np.hypot(np.diff(lats), np.diff(lngs))
-            cum = np.concatenate(([0.0], np.cumsum(legs)))
-            half = cum[-1] / 2.0
-            i = int(np.searchsorted(cum, half, side="right"))
-            mid = {"lat": mlat, "lng": mlng}
-            pts = [{"lat": float(a), "lng": float(b)} for a, b in zip(lats, lngs)]
-            out_rows.append(
-                {
-                    "edge_id": edge_id,
-                    "half_out": [mid] + pts[i:],
-                    "half_in": pts[:i] + [mid],
-                }
+    from its start to its midpoint (``half_in``) — W4, reference
+    geomath.cpp:77-97 + csv/generate.hpp:187-216.
+
+    Fully vectorized over the Arrow ListArray offsets: the lat/lng child
+    arrays are used flat (zero-copy), per-edge running lengths come from an
+    O(max_points_per_edge) loop that is vectorized ACROSS edges (bit-exact
+    with a sequential per-edge cumsum — the same association order as the
+    SQL oracle's windowed SUM; a plain sum() would use numpy's pairwise
+    summation and drift at the last ulp), and the output lists are built
+    with ``ListArray.from_arrays`` — no per-row Python, no dicts.
+    """
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        edge_ids = rb.column(0)
+        geom = rb.column(1)
+        counts = pc.list_value_length(geom).to_numpy().astype(np.int64)
+        n = counts.size
+        if n == 0 or counts.min() < 2:
+            # degenerate geometries (single-point edges) never occur in the
+            # edge builder's output; route them through a trivial per-row
+            # fallback rather than complicating the vector path
+            yield from _halves_fallback(rb)
+            continue
+        flat = pc.list_flatten(geom)
+        lats = flat.field("lat").to_numpy()
+        lngs = flat.field("lng").to_numpy()
+        starts = _excl_cumsum(counts)
+        ends = starts + counts
+        big_n = lats.size
+        # leg length from each flat point to the next; 0 across edge bounds
+        d = np.zeros(big_n, dtype=np.float64)
+        d[:-1] = np.hypot(np.diff(lats), np.diff(lngs))
+        d[ends - 1] = 0.0
+        within = np.zeros(big_n, dtype=np.float64)
+        for k in range(int(counts.max()) - 1):
+            sel = counts > k + 1
+            q = starts[sel] + k
+            within[q + 1] = within[q] + d[q]
+        totals = within[ends - 1]
+        half = totals / 2.0
+        # split index: #cum entries <= half (== searchsorted right)
+        split = np.add.reduceat(
+            (within <= np.repeat(half, counts)).astype(np.int64), starts
+        )
+        # midpoint leg: last leg whose start offset <= half; zero-length
+        # polylines take their first point (find_middle_point semantics)
+        i0 = np.minimum(split - 1, counts - 2)
+        i0 = np.where(totals == 0.0, 0, i0)
+        q = starts + i0
+        leg = d[q]
+        frac = np.where(leg > 0, (half - within[q]) / np.where(leg > 0, leg, 1.0), 0.0)
+        mlat = lats[q] + (lats[q + 1] - lats[q]) * frac
+        mlng = lngs[q] + (lngs[q + 1] - lngs[q]) * frac
+
+        def build(head_counts, head_src, mid_first):
+            out_counts = head_counts + 1
+            tot = int(out_counts.sum())
+            out_lat = np.empty(tot, np.float64)
+            out_lng = np.empty(tot, np.float64)
+            out_starts = _excl_cumsum(out_counts)
+            mid_pos = out_starts if mid_first else out_starts + head_counts
+            out_lat[mid_pos] = mlat
+            out_lng[mid_pos] = mlng
+            n_head = int(head_counts.sum())
+            if n_head:
+                off = np.arange(n_head, dtype=np.int64) - np.repeat(
+                    _excl_cumsum(head_counts), head_counts
+                )
+                src = np.repeat(head_src, head_counts) + off
+                dest = np.repeat(
+                    out_starts + (1 if mid_first else 0), head_counts
+                ) + off
+                out_lat[dest] = lats[src]
+                out_lng[dest] = lngs[src]
+            struct = pa.StructArray.from_arrays(
+                [pa.array(out_lat), pa.array(out_lng)], ["lat", "lng"]
             )
-        yield pd.DataFrame(out_rows, columns=["edge_id", "half_out", "half_in"])
+            offs = np.concatenate(([0], np.cumsum(out_counts))).astype(np.int32)
+            return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                edge_ids,
+                build(counts - split, starts + split, mid_first=True),
+                build(split, starts, mid_first=False),
+            ],
+            ["edge_id", "half_out", "half_in"],
+        )
+
+
+def _halves_fallback(rb: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
+    """Row-at-a-time path for degenerate (<2 point) geometries only."""
+    from navgraph_osm_spark.functions.geo import find_middle_point_np
+
+    out = {"edge_id": [], "half_out": [], "half_in": []}
+    for edge_id, geom in zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()):
+        lats = np.array([p["lat"] for p in geom])
+        lngs = np.array([p["lng"] for p in geom])
+        mlat, mlng = find_middle_point_np(lats, lngs)
+        legs = np.hypot(np.diff(lats), np.diff(lngs))
+        cum = np.concatenate(([0.0], np.cumsum(legs)))
+        i = int(np.searchsorted(cum, cum[-1] / 2.0, side="right"))
+        mid = {"lat": float(mlat), "lng": float(mlng)}
+        pts = [{"lat": float(a), "lng": float(b)} for a, b in zip(lats, lngs)]
+        out["edge_id"].append(edge_id)
+        out["half_out"].append([mid] + pts[i:])
+        out["half_in"].append(pts[:i] + [mid])
+    pt = pa.struct([("lat", pa.float64()), ("lng", pa.float64())])
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(out["edge_id"], pa.int64()),
+            pa.array(out["half_out"], pa.list_(pt)),
+            pa.array(out["half_in"], pa.list_(pt)),
+        ],
+        ["edge_id", "half_out", "half_in"],
+    )
 
 
 def export_rows(edges: DataFrame, exp_edges: DataFrame) -> DataFrame:
     """Expanded edges joined to edge geometry, with formatted LINESTRING."""
-    halves = edges.select("edge_id", "geom").mapInPandas(_halves_kernel, schema=_HALF_SCHEMA)
+    halves = edges.select("edge_id", "geom").mapInArrow(_halves_kernel, schema=_HALF_SCHEMA)
     src = edges.select(
         F.col("edge_id").alias("src_edge_id"),
         F.col("oneway").alias("src_oneway"),
@@ -110,5 +213,16 @@ def export_rows(edges: DataFrame, exp_edges: DataFrame) -> DataFrame:
     )
 
 
+# the reference's exact CSV row shape (csv/generate.hpp:44-56) — export_rows
+# additionally returns the four src/tgt midpoint columns for oracle checks;
+# the file sink emits only these nine
+REFERENCE_CSV_COLUMNS = [
+    "weight", "geom", "was_one_way", "osm_way_from", "osm_way_to",
+    "from_source_node", "from_target_node", "to_source_node", "to_target_node",
+]
+
+
 def write_csv(edges: DataFrame, exp_edges: DataFrame, path: str) -> None:
-    export_rows(edges, exp_edges).write.mode("overwrite").option("header", True).csv(path)
+    export_rows(edges, exp_edges).select(*REFERENCE_CSV_COLUMNS).write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)

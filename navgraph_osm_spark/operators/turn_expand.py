@@ -19,7 +19,7 @@ Restriction tables are tiny relative to edges (reference buffer constants:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # restriction type codes (reference worker.hpp:287-302): 0-2 = no_*, 3-5 = only_*
@@ -53,13 +53,26 @@ def split_restrictions(restrictions: DataFrame, edges: DataFrame) -> tuple[DataF
 
 
 def expand_turns(
-    edges: DataFrame, restrictions: DataFrame, materialize: bool = False
+    edges: DataFrame,
+    restrictions: DataFrame,
+    materialize: bool = False,
+    strict_only: bool = False,
 ) -> DataFrame:
     """J4-J9 + F6 → expanded-edge DataFrame.
 
     Output: exp_edge_id, src_edge_id, tgt_edge_id, from_way, to_way,
     via_node, via_cell, cost = (src.cost + tgt.cost) / 2
     (reference invert.hpp:108-113).
+
+    ``strict_only=True`` switches the only_* handling to the reference's
+    FIRST-MATCH semantics (invert.hpp:51-56): per source edge, at most one
+    expanded edge onto the mandated to-way — the reference takes the first
+    outgoing edge in its file order; here the deterministic stand-in is the
+    minimum tgt_edge_id (file order does not exist distributed).  As in the
+    reference, the U-turn and no_* checks then apply to that single selected
+    candidate with NO fallback to the next edge.  Default (False) keeps
+    set semantics: every edge of the mandated to-way (see the divergence
+    note below) — the north_rule's count/set equivalence accepts either.
 
     ``materialize=True`` persists the (pruned) edge relation before the
     self-join so the upstream edge-build pipeline isn't planned twice.
@@ -112,23 +125,41 @@ def expand_turns(
         & (F.col("a_tgt_lat") == F.col("b_src_lat"))
         & (F.col("a_tgt_lng") == F.col("b_src_lng"))
     )
-    turns = turns.filter(~uturn)
 
     no_rest, only_agg = split_restrictions(restrictions, edges)
 
     # J8: only_* — if a restriction matches (from_way, via_node), keep only the
     # turn onto its to-way; conflicting restrictions (distinct to-ways) kill
     # every turn at that key (reference invert.hpp:27-84).
-    # DELIBERATE DIVERGENCE from invert.hpp:51-56 (std::find_if): when the
-    # mandated to-way is bidirectional through the via node the reference
-    # emits only the FIRST matching outgoing edge (file-order dependent);
-    # here every edge of the mandated to-way is kept — set semantics, which
-    # the north_rule's count/set equivalence accepts and which has no
-    # file-order nondeterminism at scale.
-    turns = turns.join(F.broadcast(only_agg), ["from_way", "via_node"], "left").filter(
-        F.col("n_to").isNull()
-        | ((F.col("n_to") == 1) & (F.col("to_way") == F.col("only_to_way")))
-    )
+    mandated_ok = (F.col("n_to") == 1) & (F.col("to_way") == F.col("only_to_way"))
+    if strict_only:
+        # reference first-match semantics: select ONE outgoing edge of the
+        # mandated to-way (min edge id as the deterministic file-order
+        # stand-in) BEFORE the U-turn / no_* checks — a rejected selection
+        # does not fall back to the next edge (invert.hpp:51-84 `return`s)
+        turns = turns.join(
+            F.broadcast(only_agg), ["from_way", "via_node"], "left"
+        ).filter(F.col("n_to").isNull() | mandated_ok)
+        w = Window.partitionBy("src_edge_id", "via_cell", "via_node").orderBy(
+            "tgt_edge_id"
+        )
+        turns = (
+            turns.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("n_to").isNull() | (F.col("__rn") == 1))
+            .drop("__rn")
+        )
+        turns = turns.filter(~uturn)
+    else:
+        # DELIBERATE DIVERGENCE from invert.hpp:51-56 (std::find_if): when
+        # the mandated to-way is bidirectional through the via node the
+        # reference emits only the FIRST matching outgoing edge (file-order
+        # dependent); here every edge of the mandated to-way is kept — set
+        # semantics, which the north_rule's count/set equivalence accepts
+        # and which has no file-order nondeterminism at scale.
+        turns = turns.filter(~uturn)
+        turns = turns.join(
+            F.broadcast(only_agg), ["from_way", "via_node"], "left"
+        ).filter(F.col("n_to").isNull() | mandated_ok)
 
     # J9: no_* anti join on (from_way, to_way) (reference invert.hpp:101-106).
     turns = turns.join(F.broadcast(no_rest), ["from_way", "to_way"], "left_anti")

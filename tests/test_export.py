@@ -64,3 +64,81 @@ def test_write_csv(tmp_path, graph):
 
     files = glob.glob(str(tmp_path / "out" / "*.csv"))
     assert files
+
+
+def test_halves_kernel_vectorized_matches_scalar():
+    """The Arrow-offset vectorized halves kernel reproduces the scalar
+    reference semantics (midpoint + split index) on random polylines,
+    including the degenerate zero-length and 2-point cases."""
+    import numpy as np
+    import pyarrow as pa
+
+    from navgraph_osm_spark.operators.export import _halves_kernel
+
+    rng = np.random.default_rng(11)
+    edges = []
+    for e in range(300):
+        k = int(rng.integers(2, 12))
+        edges.append((e, rng.uniform(-80, 80, k), rng.uniform(-179, 179, k)))
+    edges.append((9001, np.array([1.0, 1.0, 1.0]), np.array([2.0, 2.0, 2.0])))
+    edges.append((9002, np.array([3.0, 4.0]), np.array([5.0, 6.0])))
+    # symmetric polyline: half lands EXACTLY on the middle vertex — the
+    # split-index equality case must match the sequential-cumsum oracle
+    edges.append((9003, np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 2.0])))
+
+    struct = pa.StructArray.from_arrays(
+        [pa.array(np.concatenate([e[1] for e in edges])),
+         pa.array(np.concatenate([e[2] for e in edges]))],
+        ["lat", "lng"],
+    )
+    offs = np.concatenate(([0], np.cumsum([len(e[1]) for e in edges]))).astype(np.int32)
+    geom = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([e[0] for e in edges], pa.int64()), geom], ["edge_id", "geom"]
+    )
+    out = list(_halves_kernel(iter([rb])))[0]
+    ho, hi = out.column(1).to_pylist(), out.column(2).to_pylist()
+
+    for idx, (eid, lats, lngs) in enumerate(edges):
+        # scalar reference: sequential per-edge cumsum (the SQL oracle's
+        # association order), one half for both split and midpoint
+        legs = np.hypot(np.diff(lats), np.diff(lngs))
+        cum = np.concatenate(([0.0], np.cumsum(legs)))
+        half = cum[-1] / 2.0
+        split = int(np.searchsorted(cum, half, side="right"))
+        i0 = min(split - 1, legs.size - 1)
+        if cum[-1] == 0.0:
+            i0 = 0
+        frac = (half - cum[i0]) / legs[i0] if legs[i0] > 0 else 0.0
+        mid = (lats[i0] + (lats[i0 + 1] - lats[i0]) * frac,
+               lngs[i0] + (lngs[i0 + 1] - lngs[i0]) * frac)
+        pts = list(zip(lats, lngs))
+        want_out = [mid] + pts[split:]
+        want_in = pts[:split] + [mid]
+        got_out = [(p["lat"], p["lng"]) for p in ho[idx]]
+        got_in = [(p["lat"], p["lng"]) for p in hi[idx]]
+        assert got_out == [(float(a), float(b)) for a, b in want_out], eid
+        assert got_in == [(float(a), float(b)) for a, b in want_in], eid
+
+
+def test_halves_kernel_split_equality_case():
+    """Half exactly equal to a vertex offset: the vertex belongs to half_in
+    (searchsorted side='right' semantics), bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from navgraph_osm_spark.operators.export import _halves_kernel
+
+    lats, lngs = np.array([0.0, 3.0, 6.0]), np.array([0.0, 4.0, 8.0])  # legs 5,5
+    struct = pa.StructArray.from_arrays([pa.array(lats), pa.array(lngs)], ["lat", "lng"])
+    geom = pa.ListArray.from_arrays(
+        pa.array(np.array([0, 3], np.int32), pa.int32()), struct
+    )
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([1], pa.int64()), geom], ["edge_id", "geom"]
+    )
+    out = list(_halves_kernel(iter([rb])))[0]
+    ho, hi = out.column(1).to_pylist()[0], out.column(2).to_pylist()[0]
+    # half == 5.0 == cum[1] exactly → split=2 → mid is the middle vertex
+    assert [(p["lat"], p["lng"]) for p in hi] == [(0.0, 0.0), (3.0, 4.0), (3.0, 4.0)]
+    assert [(p["lat"], p["lng"]) for p in ho] == [(3.0, 4.0), (6.0, 8.0)]

@@ -125,6 +125,99 @@ def test_stage_runner_upstream_recompute_propagates(spark, tmp_path):
     assert r["c"].first()["total"] == 200
 
 
+def test_stage_runner_resume_is_metadata_only(spark, tmp_path):
+    """A fully-valid resume issues ZERO full-table scans: validation reads
+    parquet footers and file listings only (round-2 verdict finding #5).
+    Enforced by making DataFrame.count raise during the resumed run."""
+    import pyspark.sql
+
+    wh = str(tmp_path / "wh3")
+    os.makedirs(wh, exist_ok=True)
+
+    def make_runner():
+        runner = StageRunner(spark, wh)
+        runner.stage("a", lambda deps: spark.range(50).withColumn(
+            "k", F.pmod("id", F.lit(2))))
+        runner.stage(
+            "b", lambda deps: deps["a"].groupBy("k").agg(F.count("*").alias("n")),
+            inputs=["a"],
+        )
+        return runner
+
+    make_runner().run(resume=True)
+    orig_count = pyspark.sql.DataFrame.count
+
+    def _no_scan(self):
+        raise AssertionError("resume must not run a full-table count")
+
+    pyspark.sql.DataFrame.count = _no_scan
+    try:
+        r = make_runner().run(resume=True)
+    finally:
+        pyspark.sql.DataFrame.count = orig_count
+    assert r["b"].count() == 2
+    # ... while verify=True is the explicit deep check and DOES count
+    make_runner().run(resume=True, verify=True)
+
+
+def test_stage_runner_content_change_same_cardinality(spark, tmp_path):
+    """An upstream recomputed with UNCHANGED row count must still invalidate
+    downstream — staleness is content fingerprints, not row counts."""
+    wh = str(tmp_path / "wh4")
+    os.makedirs(wh, exist_ok=True)
+    calls = {"b": 0}
+    mult = {"v": 1}
+
+    def make_runner():
+        runner = StageRunner(spark, wh)
+        runner.stage("a", lambda deps: spark.range(100).select(
+            (F.col("id") * mult["v"]).alias("x")))
+
+        def stage_b(deps):
+            calls["b"] += 1
+            return deps["a"].agg(F.sum("x").alias("s"))
+
+        runner.stage("b", stage_b, inputs=["a"])
+        return runner
+
+    make_runner().run(resume=True)
+    assert calls["b"] == 1
+    # force a to rebuild with different CONTENT but the same 100 rows
+    os.remove(os.path.join(wh, "a._lineage.json"))
+    mult["v"] = 2
+    r = make_runner().run(resume=True)
+    assert calls["b"] == 2
+    assert r["b"].first()["s"] == 2 * sum(range(100))
+
+
+def test_stage_runner_external_fingerprint(spark, tmp_path):
+    """Closure-captured inputs participate in staleness via the stage's
+    external fingerprint: a changed source invalidates the checkpoint even
+    though no upstream STAGE changed."""
+    wh = str(tmp_path / "wh5")
+    os.makedirs(wh, exist_ok=True)
+    calls = {"a": 0}
+    src = {"fp": "v1", "n": 10}
+
+    def make_runner():
+        runner = StageRunner(spark, wh)
+
+        def stage_a(deps):
+            calls["a"] += 1
+            return spark.range(src["n"])
+
+        runner.stage("a", stage_a, external=lambda: src["fp"])
+        return runner
+
+    make_runner().run(resume=True)
+    make_runner().run(resume=True)
+    assert calls["a"] == 1  # unchanged external → skip
+    src["fp"], src["n"] = "v2", 20
+    r = make_runner().run(resume=True)
+    assert calls["a"] == 2  # changed external → rebuild
+    assert r["a"].count() == 20
+
+
 @pytest.fixture(scope="module")
 def events_dir(tmp_path_factory):
     # the streaming file source requires a directory, not a single file

@@ -125,3 +125,82 @@ def test_dangling_only_dropped(edges, grid):
 def test_exp_edge_ids_unique(turns):
     n = turns.count()
     assert turns.select("exp_edge_id").distinct().count() == n
+
+
+def test_strict_only_first_match(spark):
+    """Strict reference-output mode (invert.hpp:51-56): a bidirectional
+    mandated to-way through the via node has TWO outgoing edges; default
+    (set semantics) emits both expanded edges, strict mode emits exactly
+    one — the minimum tgt_edge_id, the deterministic stand-in for the
+    reference's file-order find_if."""
+    edge_cols = (
+        "edge_id long, way_id long, cost double, src_node long, tgt_node long, "
+        "src_cell long, tgt_cell long, src_lat double, src_lng double, "
+        "tgt_lat double, tgt_lng double"
+    )
+    V = 100  # via node at (0, 0)
+    edges = spark.createDataFrame(
+        [
+            # source edge on way 1, ending at V
+            (10, 1, 1.0, 101, V, 7, 7, 1.0, 0.0, 0.0, 0.0),
+            # to-way 2 is bidirectional through V: two outgoing edges
+            (21, 2, 2.0, V, 102, 7, 7, 0.0, 0.0, 0.0, 1.0),
+            (22, 2, 2.0, V, 103, 7, 7, 0.0, 0.0, 0.0, -1.0),
+            # an unrelated outgoing way at V (must be suppressed by only_*)
+            (31, 3, 3.0, V, 104, 7, 7, 0.0, 0.0, 1.0, 1.0),
+        ],
+        edge_cols,
+    )
+    restrictions = spark.createDataFrame(
+        [(1, 1, V, 2, 3)],  # only_* (type 3): from way 1 via V onto way 2
+        "id long, from_way long, via_node long, to_way long, type int",
+    )
+    default_pairs = {
+        (r["src_edge_id"], r["tgt_edge_id"])
+        for r in expand_turns(edges, restrictions).collect()
+    }
+    strict_pairs = {
+        (r["src_edge_id"], r["tgt_edge_id"])
+        for r in expand_turns(edges, restrictions, strict_only=True).collect()
+    }
+    assert default_pairs == {(10, 21), (10, 22)}
+    assert strict_pairs == {(10, 21)}  # min tgt_edge_id wins
+
+
+def test_strict_only_uturn_selection_no_fallback(spark):
+    """Strict mode mirrors the reference's `return` after find_if: if the
+    FIRST matching edge of the mandated to-way is the U-turn reversal of
+    the source, nothing is emitted — no fallback to the next edge (default
+    set semantics still emits the non-U-turn one)."""
+    edge_cols = (
+        "edge_id long, way_id long, cost double, src_node long, tgt_node long, "
+        "src_cell long, tgt_cell long, src_lat double, src_lng double, "
+        "tgt_lat double, tgt_lng double"
+    )
+    V = 200
+    edges = spark.createDataFrame(
+        [
+            # source edge on way 1: (5,5) -> V at (0,0)
+            (10, 1, 1.0, 201, V, 7, 7, 5.0, 5.0, 0.0, 0.0),
+            # mandated way 2, FIRST edge (min id 20) is the exact reversal
+            # of the source: (0,0) -> (5,5)
+            (20, 2, 1.0, V, 201, 7, 7, 0.0, 0.0, 5.0, 5.0),
+            # second edge of way 2 is a genuine turn
+            (25, 2, 2.0, V, 202, 7, 7, 0.0, 0.0, 0.0, 9.0),
+        ],
+        edge_cols,
+    )
+    restrictions = spark.createDataFrame(
+        [(1, 1, V, 2, 4)],
+        "id long, from_way long, via_node long, to_way long, type int",
+    )
+    default_pairs = {
+        (r["src_edge_id"], r["tgt_edge_id"])
+        for r in expand_turns(edges, restrictions).collect()
+    }
+    strict_pairs = {
+        (r["src_edge_id"], r["tgt_edge_id"])
+        for r in expand_turns(edges, restrictions, strict_only=True).collect()
+    }
+    assert default_pairs == {(10, 25)}
+    assert strict_pairs == set()
