@@ -93,6 +93,13 @@ def expand_turns(
     edges = edges.select(*slim_cols)
     if materialize:
         edges = edges.persist()
+    a, b = turn_sides(edges)
+    return _expand_from_sides(a, b, restrictions, strict_only)
+
+
+def turn_sides(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two projections of the edge relation the via-node join consumes:
+    ``a`` keyed by where each edge ENDS, ``b`` by where each edge STARTS."""
     a = edges.select(
         F.col("edge_id").alias("src_edge_id"),
         F.col("way_id").alias("from_way"),
@@ -115,6 +122,45 @@ def expand_turns(
         F.col("tgt_lat").alias("b_tgt_lat"),
         F.col("tgt_lng").alias("b_tgt_lng"),
     )
+    return a, b
+
+
+def expand_turns_cobucketed(
+    writer,
+    edges: DataFrame,
+    restrictions: DataFrame,
+    n_buckets: int = 64,
+    strict_only: bool = False,
+) -> DataFrame:
+    """Turn expansion over WRITE-TIME BUCKETED side tables: both join sides
+    are materialized bucketed + bucket-sorted on (via_cell, via_node), so
+    the J4-J6 self-join plans with ZERO Exchange nodes — the read is
+    already co-partitioned.  This is the 100 TB shape: the shuffle is paid
+    once at write time (and amortized across every downstream consumer /
+    resume), exactly like the reference laying out per-pixel edge files
+    before EP3 (reference main.cpp:587-708 → 918).
+
+    ``writer`` is a sources.tables.TableWriter; the side tables land in its
+    warehouse as ``turn_side_a`` / ``turn_side_b``.
+    """
+    a, b = turn_sides(edges)
+    keys = ["via_cell", "via_node"]
+    writer.write_bucketed(a, "turn_side_a", keys, n_buckets, sort_cols=keys)
+    writer.write_bucketed(b, "turn_side_b", keys, n_buckets, sort_cols=keys)
+    return _expand_from_sides(
+        writer.read_bucketed("turn_side_a"),
+        writer.read_bucketed("turn_side_b"),
+        restrictions,
+        strict_only,
+    )
+
+
+def _expand_from_sides(
+    a: DataFrame, b: DataFrame, restrictions: DataFrame, strict_only: bool
+) -> DataFrame:
+    # every edge appears on the b side, so the emitted-way set (J7) derives
+    # from it without needing the original edge relation
+    emitted = b.select(F.col("to_way").alias("way_id"))
     turns = a.join(b, ["via_cell", "via_node"])  # J4+J5+J6 in one co-partitioned join
 
     # F6 U-turn: target edge is the exact geometric reversal of the source
@@ -126,7 +172,7 @@ def expand_turns(
         & (F.col("a_tgt_lng") == F.col("b_src_lng"))
     )
 
-    no_rest, only_agg = split_restrictions(restrictions, edges)
+    no_rest, only_agg = split_restrictions(restrictions, emitted)
 
     # J8: only_* — if a restriction matches (from_way, via_node), keep only the
     # turn onto its to-way; conflicting restrictions (distinct to-ways) kill

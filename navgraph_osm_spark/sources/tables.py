@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DRIVER_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -77,6 +78,55 @@ class TableWriter:
             # an overwrite otherwise leaves readers pointing at deleted files
             self.spark.catalog.refreshByPath(target)
         return target
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Write ``df`` as a BUCKETED (and bucket-sorted) catalog table.
+
+        Bucketing is the write-time half of a co-located join: two tables
+        bucketed (same column types, same bucket count) on their join keys
+        are read pre-partitioned, so the join plans with ZERO Exchange
+        nodes — the Spark analogue of the reference laying out edge files
+        per pixel before turn expansion (reference main.cpp:587-708 → 918).
+        Iceberg maps to a bucket() partition transform + storage-partitioned
+        joins; the Parquet fallback uses the session catalog's bucket spec.
+        """
+        tbl = self._catalog_name(name)
+        if self.use_iceberg:
+            writer = df.writeTo(f"local.{name}").partitionedBy(
+                F.bucket(n_buckets, bucket_cols[0])
+            )
+            writer.createOrReplace()
+            return f"local.{name}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        w = (
+            df.write.mode("overwrite")
+            .option("path", self.path(name))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(tbl)
+        return tbl
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.format("iceberg").load(f"local.{name}")
+        return self.spark.table(self._catalog_name(name))
+
+    def _catalog_name(self, name: str) -> str:
+        """Session-catalog table name, unique per warehouse directory (the
+        catalog is session-global; two runners must not collide)."""
+        import hashlib
+
+        tag = hashlib.md5(self.warehouse.encode()).hexdigest()[:8]
+        return f"ng_{tag}_{name}"
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:

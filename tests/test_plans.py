@@ -120,6 +120,57 @@ def test_adaptive_split_single_data_aggregation(spark):
     assert p.count("FileScan") == 1
 
 
+def test_cobucketed_turn_join_no_exchange(spark, tmp_path):
+    """expand_turns_cobucketed: both sides written bucketed+sorted on
+    (via_cell, via_node) → the J4-J6 self-join reads pre-partitioned and
+    plans with NO Exchange between the join and the bucketed scans (the
+    shuffle is paid once at write time — the 100 TB shape)."""
+    from navgraph_osm_spark.operators import graph_build
+    from navgraph_osm_spark.operators.turn_expand import (
+        expand_turns,
+        expand_turns_cobucketed,
+    )
+    from navgraph_osm_spark.sources.tables import TableWriter
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = Q.graph_tables(spark, SF)
+        wn = t["way_nodes"].filter(F.col("way_id") % 10 == 0)
+        ways = t["ways"].filter(F.col("id") % 10 == 0)
+        edges = graph_build.build_edges(t["nodes"], ways, wn, res=6).select(
+            "edge_id", "way_id", "cost", "src_node", "tgt_node", "src_cell",
+            "tgt_cell", "src_lat", "src_lng", "tgt_lat", "tgt_lng",
+        ).localCheckpoint(eager=True)
+        restrictions = spark.createDataFrame(
+            [], "id long, from_way long, via_node long, to_way long, type int"
+        )
+        writer = TableWriter(spark, str(tmp_path / "wh"))
+        out = expand_turns_cobucketed(writer, edges, restrictions, n_buckets=8)
+        plan = plan_of(out)
+        # walk the join subtree: from the SortMergeJoin down to its two
+        # bucketed scans there must be no Exchange (only Sort/Filter)
+        lines = plan.splitlines()
+        smj = next(i for i, ln in enumerate(lines) if "SortMergeJoin Inner" in ln)
+        scans_seen = 0
+        for ln in lines[smj + 1 :]:
+            if "turn_side" in ln and "Scan" in ln:
+                scans_seen += 1
+                if scans_seen == 2:
+                    break
+            assert "Exchange" not in ln, plan
+        assert scans_seen == 2, plan
+        # and the result is identical to the standard path
+        got = {(r["src_edge_id"], r["tgt_edge_id"]) for r in out.collect()}
+        want = {
+            (r["src_edge_id"], r["tgt_edge_id"])
+            for r in expand_turns(edges, restrictions).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_pip_join_codegen_hard_fail(spark):
     """sp_pip_join must execute with ZERO codegen fallbacks.
 
