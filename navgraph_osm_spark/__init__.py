@@ -7,14 +7,19 @@ indexing over image+caption tables:
 
 - ``cells``      — hierarchical geospatial cell index (Morton/quadkey-packed
                    int64 ids), pure Spark column expressions on the hot path.
-                   (replaces the reference's HEALPix ``ang2pix_ring``,
-                   reference worker.hpp:163-175)
+                   (default; the reference's HEALPix ``ang2pix_ring``,
+                   reference worker.hpp:163-175, is available exactly in
+                   ``healpix``)
+- ``healpix``    — equal-area RING pixelization (any nside, incl. the
+                   reference's 50) with numpy / column-expr / SQL twins.
 - ``functions``  — haversine / geometry / text / hashing column functions.
 - ``sources``    — deterministic synthetic generators (image+caption table,
                    OSM-like fixture tables) + a parquet/Iceberg-abstracted
                    writer, the NGI1 image codec, the NGF1 framed-blob
-                   source (S1/S2 ingestion shape), and multimodal
-                   audio/video columns (``media``).
+                   source (S1/S2 ingestion shape), a REAL ``.osm.pbf``
+                   source + writer (``pbf``, public wire format, vectorized
+                   numpy varint decode), and multimodal audio/video columns
+                   (``media``).
 - ``operators``  — graph build (node usage → way segmentation → edges),
                    F3 restriction pivot (``relations``), turn expansion with
                    restrictions, point-in-polygon join, kNN join, tile
