@@ -85,6 +85,10 @@ def flagship_job(spark, n_images: int, res_pip: int = 8, res_tile: int = 6) -> d
         pts.select(F.col("point_id").alias("image_id"), "footprint"), res_tile
     )
     hist = assign_cells(pts.select("lat", "lng"), res_tile).groupBy("cell").count()
+    # three separate count() actions, NOT a union-fused single job: A/B
+    # measured the fused variant 1.5-1.9s SLOWER at this scale (the union
+    # adds a stage boundary per branch + a final agg stage, and count() has
+    # a specialized fast path) — see BENCH/BASELINE.md input-size note
     out = {
         "pip_rows": _timed("pip", pip.count),
         "tile_rows": _timed("tiles", tiles.count),
