@@ -5,14 +5,16 @@ The reference runs ``./main <input.osm.pbf> [output.csv]``
 and prints its stage counters to stderr (main.cpp:204-222, 916, 1301-1304).
 Here::
 
-    python -m navgraph_osm_spark <input_dir> [output_csv] \
+    python -m navgraph_osm_spark <input.osm.pbf | input_dir> [output_csv] \
         [--res N] [--warehouse DIR] [--parallelism N] [--no-resume] \
         [--demo-grid ROWSxCOLS]
 
-``input_dir`` holds parquet tables ``nodes``, ``ways`` (flat highway/oneway
-columns or a ``tags`` map — F1/F2 dispatch on shape), ``way_nodes``, and
-either ``restrictions`` (pre-pivoted) or raw ``relation_members`` +
-``relation_tags`` (pivoted by the F3 operator).  Stage outputs are
+The input is either a REAL ``.osm.pbf`` extract (exactly the reference's
+invocation — decoded by ``sources.pbf``, restrictions pivoted from the raw
+relations by F3) or a directory of parquet tables ``nodes``, ``ways``
+(flat highway/oneway columns or a ``tags`` map — F1/F2 dispatch on shape),
+``way_nodes``, and either ``restrictions`` (pre-pivoted) or raw
+``relation_members`` + ``relation_tags``.  Stage outputs are
 checkpoint-resumable managed tables under ``--warehouse``; the final CSV is
 the reference-shaped LINESTRING export.  ``--demo-grid`` generates the
 deterministic road-grid fixture instead of reading an input dir.
@@ -27,6 +29,24 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+
+
+def _load_pbf(spark: SparkSession, path: str):
+    """A real .osm.pbf extract → pipeline input tables (the reference's own
+    input path, main.cpp:47-57): nodes/ways/way_nodes from the PBF scans,
+    restrictions pivoted from the raw relation members + tag maps (F3)."""
+    from navgraph_osm_spark.operators.relations import pivot_restrictions
+    from navgraph_osm_spark.sources.pbf import load_osm_tables
+
+    t = load_osm_tables(spark, path)
+    return {
+        "nodes": t["nodes"],
+        "ways": t["ways"],  # tags map → F1/F2 dispatch to filter_ways_tags
+        "way_nodes": t["way_nodes"],
+        "restrictions": pivot_restrictions(
+            t["relation_members"], t["relation_tags"]
+        ),
+    }
 
 
 def _load_inputs(spark: SparkSession, input_dir: str):
@@ -55,7 +75,8 @@ def _load_inputs(spark: SparkSession, input_dir: str):
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
     ap = argparse.ArgumentParser(prog="navgraph_osm_spark")
-    ap.add_argument("input_dir", nargs="?")
+    ap.add_argument("input_dir", nargs="?", metavar="input",
+                    help=".osm.pbf file or directory of parquet tables")
     ap.add_argument("output_csv", nargs="?")
     ap.add_argument("--res", type=int, default=12)
     ap.add_argument("--warehouse", default=None)
@@ -79,10 +100,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         if args.demo_grid:
             rows, cols = (int(v) for v in args.demo_grid.lower().split("x"))
             tables = gen_road_grid(spark, rows=rows, cols=cols)
+        elif os.path.isfile(args.input_dir):
+            tables = _load_pbf(spark, args.input_dir)
         else:
             tables = _load_inputs(spark, args.input_dir)
         warehouse = args.warehouse or os.path.join(
-            args.input_dir or ".", "_navgraph_warehouse"
+            os.path.dirname(args.input_dir) if args.input_dir and os.path.isfile(args.input_dir)
+            else (args.input_dir or "."),
+            "_navgraph_warehouse",
         )
         out = run_full_pipeline(
             spark, warehouse, tables, res=args.res, resume=not args.no_resume

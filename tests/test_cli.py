@@ -40,3 +40,56 @@ def test_cli_input_dir_with_raw_relations(spark, tmp_path):
     # resume run: same answer, stages skipped (no error, identical counts)
     counts2 = main([d, "--warehouse", str(tmp_path / "wh2"), "--res", "10"], spark=spark)
     assert counts2["expanded_edges"] == counts["expanded_edges"]
+
+
+def test_cli_pbf_input(spark, tmp_path):
+    """The reference's exact invocation shape: a real .osm.pbf file in,
+    reference-shaped CSV out — nodes/ways/relations decoded by sources.pbf,
+    restrictions pivoted by F3, full pipeline through the checkpoint runner."""
+    import numpy as np
+
+    from navgraph_osm_spark.sources import pbf
+
+    # 3 highway ways through a shared node 999 (each splits there), plus a
+    # no_left_turn restriction between ways 2 and 3
+    node_ids, lats, lngs = [999], [0.0005], [0.0005]
+    ways = []
+    for w in range(3):
+        refs = []
+        for i in range(5):
+            if i == 2:
+                refs.append(999)
+                continue
+            nid = w * 10 + i + 1000
+            node_ids.append(nid)
+            lats.append(round(0.001 * (w + 1), 7))
+            lngs.append(round(0.001 * (i + 1), 7))
+            refs.append(nid)
+        ways.append((w + 1, {"highway": "residential"}, np.array(refs, np.int64)))
+    rels = [
+        (
+            50,
+            {"type": "restriction", "restriction": "no_left_turn"},
+            [("way", 2, "from"), ("node", 999, "via"), ("way", 3, "to")],
+        )
+    ]
+    p = str(tmp_path / "tiny.osm.pbf")
+    pbf.write_osm_pbf(
+        p,
+        nodes=(np.array(node_ids, np.int64), np.array(lats), np.array(lngs)),
+        ways=ways,
+        relations=rels,
+        block_size=4,
+    )
+    out_csv = str(tmp_path / "out_csv")
+    counts = main(
+        [p, out_csv, "--warehouse", str(tmp_path / "whp"), "--res", "10"],
+        spark=spark,
+    )
+    # 3 two-way ways x 2 segments x 2 directions (split at the shared node)
+    assert counts["ways_used"] == 3
+    assert counts["edges_emitted"] == 12
+    assert counts["expanded_edges"] > 0
+    files = [f for f in os.listdir(out_csv) if f.endswith(".csv")]
+    header = open(os.path.join(out_csv, files[0])).readline()
+    assert header.startswith("weight,geom,was_one_way,osm_way_from")
