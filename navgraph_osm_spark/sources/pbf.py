@@ -465,24 +465,31 @@ def parse_primitive_block(data: bytes) -> dict:
     ways: list[tuple] = []
     relations: list[tuple] = []
 
+    def _cat(chunks):
+        return np.concatenate(chunks) if chunks else None
+
     for goff, glen in groups:
         for fnum, wt, val in _fields(data, goff, goff + glen):
             if fnum == 2 and wt == 2:  # DenseNodes
-                ids = lats = lngs = None
-                kv = None
+                # repeated scalar fields may appear packed OR as multiple
+                # occurrences (unpacked / split across chunks) — accumulate
+                # then delta-decode once
+                idc, latc, lngc, kvc = [], [], [], []
                 for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
                     if df_ == 1:
-                        ids = np.cumsum(_signed_packed(data, dwt, dval))
+                        idc.append(_signed_packed(data, dwt, dval))
                     elif df_ == 8:
-                        lats = np.cumsum(_signed_packed(data, dwt, dval))
+                        latc.append(_signed_packed(data, dwt, dval))
                     elif df_ == 9:
-                        lngs = np.cumsum(_signed_packed(data, dwt, dval))
+                        lngc.append(_signed_packed(data, dwt, dval))
                     elif df_ == 10:
-                        kv = _packed(data, dwt, dval).astype(np.int64)
-                if ids is not None:
+                        kvc.append(_packed(data, dwt, dval).astype(np.int64))
+                if idc:
+                    ids = np.cumsum(_cat(idc))
                     node_ids.append(ids)
-                    node_lats.append(conv(lats, lat_offset))
-                    node_lngs.append(conv(lngs, lon_offset))
+                    node_lats.append(conv(np.cumsum(_cat(latc)), lat_offset))
+                    node_lngs.append(conv(np.cumsum(_cat(lngc)), lon_offset))
+                    kv = _cat(kvc) if kvc else None
                     node_tags.append(_split_keys_vals(kv, len(ids), strings))
             elif fnum == 1 and wt == 2:  # plain Node
                 nid = rlat = rlng = 0
@@ -505,41 +512,42 @@ def parse_primitive_block(data: bytes) -> dict:
                 node_tags.append([t] if t else [None])
             elif fnum == 3 and wt == 2:  # Way
                 wid = 0
-                keys = vals = refs = None
+                kc, vc, rc = [], [], []
                 for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
                     if df_ == 1:
                         wid = dval
                     elif df_ == 2:
-                        keys = _packed(data, dwt, dval)
+                        kc.append(_packed(data, dwt, dval))
                     elif df_ == 3:
-                        vals = _packed(data, dwt, dval)
+                        vc.append(_packed(data, dwt, dval))
                     elif df_ == 8:
-                        refs = np.cumsum(_signed_packed(data, dwt, dval))
-                ways.append((wid, _tags_of(keys, vals, strings),
-                             refs if refs is not None else np.empty(0, np.int64)))
+                        rc.append(_signed_packed(data, dwt, dval))
+                refs = np.cumsum(_cat(rc)) if rc else np.empty(0, np.int64)
+                ways.append((wid, _tags_of(_cat(kc), _cat(vc), strings), refs))
             elif fnum == 4 and wt == 2:  # Relation
                 rid = 0
-                keys = vals = roles = memids = types = None
+                kc, vc, rlc, mc, tc = [], [], [], [], []
                 for df_, dwt, dval in _fields(data, val[0], val[0] + val[1]):
                     if df_ == 1:
                         rid = dval
                     elif df_ == 2:
-                        keys = _packed(data, dwt, dval)
+                        kc.append(_packed(data, dwt, dval))
                     elif df_ == 3:
-                        vals = _packed(data, dwt, dval)
+                        vc.append(_packed(data, dwt, dval))
                     elif df_ == 8:
-                        roles = _packed(data, dwt, dval).astype(np.int64)
+                        rlc.append(_packed(data, dwt, dval).astype(np.int64))
                     elif df_ == 9:
-                        memids = np.cumsum(_signed_packed(data, dwt, dval))
+                        mc.append(_signed_packed(data, dwt, dval))
                     elif df_ == 10:
-                        types = _packed(data, dwt, dval).astype(np.int64)
+                        tc.append(_packed(data, dwt, dval).astype(np.int64))
+                roles = _cat(rlc) if rlc else np.empty(0, np.int64)
                 relations.append(
                     (
                         rid,
-                        _tags_of(keys, vals, strings),
-                        [strings[r] for r in (roles if roles is not None else [])],
-                        memids if memids is not None else np.empty(0, np.int64),
-                        types if types is not None else np.empty(0, np.int64),
+                        _tags_of(_cat(kc), _cat(vc), strings),
+                        [strings[int(r)] for r in roles],
+                        np.cumsum(_cat(mc)) if mc else np.empty(0, np.int64),
+                        _cat(tc) if tc else np.empty(0, np.int64),
                     )
                 )
 
