@@ -292,19 +292,25 @@ def point_in_polygon_join(
     rest = cand.filter(~F.col("__rect"))
 
     n_nonrect = None
+    probed_map = None
     if broadcast_polys is None:
-        # ONE bounded probe job decides both (a) broadcastability and (b)
-        # whether the Python refinement branch can receive any rows at all —
-        # an all-rectangle workload (the raster↔vector tiling case) then
-        # never runs a polygon collect() or a mapInPandas stage.
+        # ONE bounded probe job decides (a) broadcastability, (b) whether
+        # the Python refinement branch can receive any rows at all — an
+        # all-rectangle workload (the raster↔vector tiling case) then never
+        # runs a polygon collect() or a mapInPandas stage — and (c) ships
+        # the NON-rect vertices for the broadcast map in the same pass, so
+        # no second collect job ever runs.
         pb = footprint_bbox(polygons.select(poly_id, fp), fp)
+        rect = _is_axis_rect_expr(
+            F.col(fp), F.col("lat_min"), F.col("lat_max"),
+            F.col("lng_min"), F.col("lng_max"),
+        )
         probe = (
             pb.select(
+                F.col(poly_id),
                 F.size(F.col(fp)).alias("nv"),
-                _is_axis_rect_expr(
-                    F.col(fp), F.col("lat_min"), F.col("lat_max"),
-                    F.col("lng_min"), F.col("lng_max"),
-                ).alias("rect"),
+                rect.alias("rect"),
+                F.when(~rect, F.col(fp)).alias("__fp"),
             )
             .limit(BROADCAST_POLY_LIMIT + 1)
             .collect()
@@ -315,6 +321,15 @@ def point_in_polygon_join(
             len(probe) <= BROADCAST_POLY_LIMIT
             and sum(r["nv"] for r in probe) <= BROADCAST_VERTEX_LIMIT
         )
+        if broadcast_polys:
+            probed_map = {
+                r[poly_id]: (
+                    np.array([p["lat"] for p in r["__fp"]], dtype=np.float64),
+                    np.array([p["lng"] for p in r["__fp"]], dtype=np.float64),
+                )
+                for r in probe
+                if not r["rect"]
+            }
     if n_nonrect == 0:
         return rect_hits
 
@@ -342,22 +357,26 @@ def point_in_polygon_join(
     dtypes = dict(rest.dtypes)
     out_schema = f"{point_id} {dtypes[point_id]}, {poly_id} {dtypes[poly_id]}"
     if broadcast_polys:
-        # only NON-rect polygons can reach the refinement kernel — collect
-        # just those (rect footprints were fully decided by the prefilter)
-        pb = footprint_bbox(polygons.select(poly_id, fp), fp)
-        nonrect = pb.filter(
-            ~_is_axis_rect_expr(
-                F.col(fp), F.col("lat_min"), F.col("lat_max"),
-                F.col("lng_min"), F.col("lng_max"),
+        # only NON-rect polygons can reach the refinement kernel — their
+        # vertices came back with the probe when one ran; a caller-forced
+        # broadcast collects them here instead
+        if probed_map is not None:
+            poly_map = probed_map
+        else:
+            pb = footprint_bbox(polygons.select(poly_id, fp), fp)
+            nonrect = pb.filter(
+                ~_is_axis_rect_expr(
+                    F.col(fp), F.col("lat_min"), F.col("lat_max"),
+                    F.col("lng_min"), F.col("lng_max"),
+                )
             )
-        )
-        poly_map = {
-            r[poly_id]: (
-                np.array([p["lat"] for p in r[fp]], dtype=np.float64),
-                np.array([p["lng"] for p in r[fp]], dtype=np.float64),
-            )
-            for r in nonrect.select(poly_id, fp).collect()
-        }
+            poly_map = {
+                r[poly_id]: (
+                    np.array([p["lat"] for p in r[fp]], dtype=np.float64),
+                    np.array([p["lng"] for p in r[fp]], dtype=np.float64),
+                )
+                for r in nonrect.select(poly_id, fp).collect()
+            }
         kernel = _refine_kernel_broadcast([point_id, poly_id], sc.broadcast(poly_map))
     else:
         kernel = _refine_kernel([point_id, poly_id])

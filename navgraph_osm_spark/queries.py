@@ -845,19 +845,60 @@ def sp_cell_histogram(spark, sf_dir):
     ).agg(F.count("*").alias("n_rows"))
 
 
+def triangles_as_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-rectangular footprints derived from the box params: the right
+    triangle (lat0,lng0)-(lat0,lng1)-(lat1,lng0), ids offset by 1e6.  These
+    rows fail the rectangle fast path and exercise the Arrow ray-casting
+    refinement kernel — which the oracle reproduces bit-for-bit."""
+    b = boxes_df(spark, sf_dir)
+    fp = F.array(
+        F.struct(F.col("lat0").alias("lat"), F.col("lng0").alias("lng")),
+        F.struct(F.col("lat0").alias("lat"), F.col("lng1").alias("lng")),
+        F.struct(F.col("lat1").alias("lat"), F.col("lng0").alias("lng")),
+    )
+    return b.select((F.col("box_id") + 1_000_000).alias("box_id"), fp.alias("footprint"))
+
+
+# The exact even-odd crossing test of functions.geo.points_in_polygon_np,
+# unrolled for the planted triangle A=(lat0,lng0) B=(lat0,lng1) C=(lat1,lng0)
+# (closed C→A): edge A→B is horizontal (contributes 0 crossings); the two
+# remaining edge terms are written with the kernel's EXACT float expression
+# `x1 + (py - y1) / (y2 - y1) * (x2 - x1)` and strict `<`, so the SQL and
+# the Arrow kernel agree bit-for-bit, boundary cases included.
+_TRI_CROSSING_SQL = """
+    ((CASE WHEN ((b.lat0 > p.lat) <> (b.lat1 > p.lat))
+            AND p.lng < b.lng1 + (p.lat - b.lat0) / (b.lat1 - b.lat0) * (b.lng0 - b.lng1)
+       THEN 1 ELSE 0 END)
+   + (CASE WHEN ((b.lat1 > p.lat) <> (b.lat0 > p.lat))
+            AND p.lng < b.lng0 + (p.lat - b.lat1) / (b.lat0 - b.lat1) * (b.lng0 - b.lng0)
+       THEN 1 ELSE 0 END)) % 2 = 1
+"""
+
+
 @_register(
     "sp_pip_join",
     f"""
     WITH pts AS ({POINTS_SQL}), boxes AS ({BOXES_SQL})
     SELECT p.point_id, b.box_id FROM pts p JOIN boxes b
     ON p.lat > b.lat0 AND p.lat < b.lat1 AND p.lng > b.lng0 AND p.lng < b.lng1
+    UNION ALL
+    SELECT p.point_id, b.box_id + 1000000 AS box_id FROM pts p JOIN boxes b
+    ON {_TRI_CROSSING_SQL.strip()}
     """,
 )
 def sp_pip_join(spark, sf_dir):
+    """Headline spatial join over a MIXED polygon set: rectangles (decided
+    entirely in codegen by the bbox prefilter + rect fast path) plus
+    planted right triangles (routed through the Arrow ray-cast refinement).
+    BOTH paths are oracled — the triangle half reproduces the kernel's
+    even-odd crossing arithmetic in SQL, so the driver gate covers the
+    exact-refinement kernel, not just the rectangle shortcut."""
     from navgraph_osm_spark.operators.spatial_join import point_in_polygon_join
 
     pts = points_df(spark, sf_dir)
-    polys = boxes_as_polygons(spark, sf_dir)
+    polys = boxes_as_polygons(spark, sf_dir).unionByName(
+        triangles_as_polygons(spark, sf_dir)
+    )
     return point_in_polygon_join(
         pts, polys, res=8, point_id="point_id", poly_id="box_id", exact=True
     )
