@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--demo-grid", default=None, metavar="ROWSxCOLS")
+    ap.add_argument("--strict-turns", action="store_true",
+                    help="reference first-match only_* semantics (invert.hpp:51-56)")
+    ap.add_argument("--bucketed-turns", action="store_true",
+                    help="materialize bucketed turn-join sides (exchange-free J4-J6)")
     args = ap.parse_args(argv)
     if args.input_dir is None and args.demo_grid is None:
         ap.error("provide an input_dir or --demo-grid ROWSxCOLS")
@@ -110,7 +114,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             "_navgraph_warehouse",
         )
         out = run_full_pipeline(
-            spark, warehouse, tables, res=args.res, resume=not args.no_resume
+            spark, warehouse, tables, res=args.res, resume=not args.no_resume,
+            strict_turns=args.strict_turns, bucketed_turns=args.bucketed_turns,
         )
         if args.output_csv:
             # emit the reference's exact 9-column row shape (the midpoint

@@ -28,8 +28,18 @@ def build_pipeline(
     way_nodes: DataFrame,
     restrictions: DataFrame,
     res: int = 12,
+    strict_turns: bool = False,
+    bucketed_turns: bool = False,
+    n_buckets: int = 64,
 ) -> StageRunner:
-    """Assemble the 4-stage graph pipeline; call ``.run(resume=True)``."""
+    """Assemble the 4-stage graph pipeline; call ``.run(resume=True)``.
+
+    ``strict_turns`` switches only_* handling to the reference's first-match
+    semantics (turn_expand.expand_turns strict_only).  ``bucketed_turns``
+    materializes the turn-join sides as bucketed tables so the J4-J6
+    self-join runs exchange-free (expand_turns_cobucketed) — pay the
+    shuffle once at write time, the 100 TB default.
+    """
     runner = StageRunner(spark, warehouse)
 
     def st_edges(deps):
@@ -39,7 +49,21 @@ def build_pipeline(
         return df.withColumn("part_cell", F.shiftright(F.col("src_cell"), 8))
 
     def st_turns(deps):
-        return expand_turns(deps["edges"], restrictions, materialize=False)
+        if bucketed_turns:
+            from navgraph_osm_spark.operators.turn_expand import (
+                expand_turns_cobucketed,
+            )
+
+            return expand_turns_cobucketed(
+                runner.writer,
+                deps["edges"].drop("part_cell"),
+                restrictions,
+                n_buckets=n_buckets,
+                strict_only=strict_turns,
+            )
+        return expand_turns(
+            deps["edges"], restrictions, materialize=False, strict_only=strict_turns
+        )
 
     def st_export(deps):
         return export_rows(deps["edges"].drop("part_cell"), deps["turns"])
@@ -71,6 +95,8 @@ def run_full_pipeline(
     tables: dict[str, DataFrame],
     res: int = 12,
     resume: bool = True,
+    strict_turns: bool = False,
+    bucketed_turns: bool = False,
 ) -> dict[str, DataFrame]:
     runner = build_pipeline(
         spark,
@@ -80,5 +106,7 @@ def run_full_pipeline(
         tables["way_nodes"],
         tables["restrictions"],
         res=res,
+        strict_turns=strict_turns,
+        bucketed_turns=bucketed_turns,
     )
     return runner.run(resume=resume)
