@@ -1925,22 +1925,25 @@ _SKEWED_PTS_SQL = (
 _SPLIT_RES, _SPLIT_T, _SPLIT_LVLS = 6, 100, 3
 
 
-def _skew_split_oracle() -> str:
+def _split_descent_sql(with_body: str, src: str, id_col: str,
+                       res: int, threshold: int, lvls: int) -> str:
+    """The adaptive-split level descent unrolled in SQL over any source CTE
+    providing (id_col, lat, lng)."""
     from navgraph_osm_spark.cells import cell_morton_sql
 
-    finest = cell_morton_sql("lat", "lng", _SPLIT_RES + _SPLIT_LVLS)
+    finest = cell_morton_sql("lat", "lng", res + lvls)
     sql = f"""
-    WITH pts AS ({_SKEWED_PTS_SQL}),
-    f AS (SELECT point_id, {finest} AS c9 FROM pts),
-    l0 AS (SELECT point_id, c9, c9 >> {2 * _SPLIT_LVLS} AS part FROM f)
+    WITH {with_body},
+    f AS (SELECT {id_col}, {finest} AS c9 FROM {src}),
+    l0 AS (SELECT {id_col}, c9, c9 >> {2 * lvls} AS part FROM f)
     """
     prev = "l0"
-    for level in range(_SPLIT_LVLS):
-        shift = 2 * (_SPLIT_LVLS - level - 1)
+    for level in range(lvls):
+        shift = 2 * (lvls - level - 1)
         sql += f"""
     , d{level} AS (SELECT part AS dc FROM {prev} GROUP BY part
-                   HAVING COUNT(*) > {_SPLIT_T})
-    , l{level + 1} AS (SELECT point_id, c9,
+                   HAVING COUNT(*) > {threshold})
+    , l{level + 1} AS (SELECT {id_col}, c9,
         CASE WHEN part IN (SELECT dc FROM d{level})
              THEN c9 >> {shift} ELSE part END AS part FROM {prev})
         """
@@ -1949,6 +1952,21 @@ def _skew_split_oracle() -> str:
     SELECT part AS part_cell, COUNT(*) AS n_rows FROM {prev} GROUP BY part
     """
     return sql
+
+
+def _skew_split_oracle() -> str:
+    return _split_descent_sql(
+        f"pts AS ({_SKEWED_PTS_SQL})", "pts", "point_id",
+        _SPLIT_RES, _SPLIT_T, _SPLIT_LVLS,
+    )
+
+
+def _skew_images_oracle() -> str:
+    from navgraph_osm_spark.sources.synth import image_geo_sql_cte
+
+    return _split_descent_sql(
+        image_geo_sql_cte(2000, seed=42), "geo", "i", 6, 100, 3
+    )
 
 
 @_register("skew_adaptive_split", _skew_split_oracle())
@@ -1967,10 +1985,14 @@ def skew_adaptive_split(spark, sf_dir):
     return cell_histogram(split, "part_cell")
 
 
-@_register("skew_adaptive_split_images")  # rows-only: image table not in DuckDB
+@_register("skew_adaptive_split_images", _skew_images_oracle())
 def skew_adaptive_split_images(spark, sf_dir):
-    """Adaptive cell splitting over the skewed synthetic image table: dense
-    city-core cells descend to finer resolutions until under threshold."""
+    """Adaptive cell splitting over the skewed synthetic image table, now
+    FULLY ORACLED: DuckDB regenerates the table's lat/lng from scratch —
+    splitmix64 reproduced bit-for-bit via HUGEINT 32-bit-halves modular
+    multiplication (sources.synth.image_geo_sql_cte), Box–Muller city-core
+    clusters, then the same unrolled Morton level descent as
+    skew_adaptive_split."""
     from navgraph_osm_spark.operators.skew import adaptive_cell_split, cell_histogram
     from navgraph_osm_spark.sources.synth import gen_images
 

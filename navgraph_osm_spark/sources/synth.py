@@ -46,6 +46,83 @@ def _u01(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
+def _mulmod64_sql(y: str, c: int) -> str:
+    """DuckDB SQL: (y * c) mod 2^64 for a UBIGINT expression and a constant.
+
+    DuckDB has no wrapping multiply (HUGEINT overflows at 2^127), so the
+    product is assembled from 32-bit halves — every intermediate fits in
+    INT128: ``lo*c_lo + ((lo*c_hi + hi*c_lo) mod 2^32) << 32``.
+    """
+    c_lo, c_hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"CAST((CAST(({y}) & 4294967295 AS HUGEINT) * {c_lo} + "
+        f"(((CAST(({y}) & 4294967295 AS HUGEINT) * {c_hi} + "
+        f"CAST(({y}) >> 32 AS HUGEINT) * {c_lo}) % 4294967296) * 4294967296)) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def u01_sql_stages(id_col: str, seed: int, stream: int, tag: str) -> list[tuple[str, str]]:
+    """CTE column stages reproducing :func:`_u01` BIT-FOR-BIT in DuckDB.
+
+    The stream key (inner splitmix64 of seed*1315423911+stream) is
+    precomputed here and inlined; the outer splitmix64 runs in SQL via
+    :func:`_mulmod64_sql`.  Final column name is ``u{stream}``.  Tested
+    exact against numpy for every stream (tests/test_synth_sql.py).
+    """
+    key = int(splitmix64(np.array([seed * 1315423911 + stream], dtype=np.uint64))[0])
+    x = f"xor(CAST({id_col} AS UBIGINT), {key})"
+    return [
+        (f"{tag}a",
+         f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485) "
+         f"% 18446744073709551616 AS UBIGINT)"),
+        (f"{tag}b", _mulmod64_sql(f"xor({tag}a, {tag}a >> 30)", 0xBF58476D1CE4E5B9)),
+        (f"{tag}c", _mulmod64_sql(f"xor({tag}b, {tag}b >> 27)", 0x94D049BB133111EB)),
+        (f"u{stream}",
+         f"CAST(xor({tag}c, {tag}c >> 31) >> 11 AS DOUBLE) / 9007199254740992.0"),
+    ]
+
+
+def image_geo_sql_cte(n: int, seed: int = 42) -> str:
+    """DuckDB CTE chain generating the image table's (i, lat, lng) columns —
+    the SQL twin of :func:`image_fields`'s geo derivation, so queries over
+    the synthetic image table can be driver-oracled without the table ever
+    existing in DuckDB.  splitmix64/_u01 are reproduced bit-for-bit; the
+    Box–Muller trig goes through libm, where numpy and DuckDB may differ in
+    the last ulp on rare rows (~1e-3 of rows, ~1e-17 degrees) — harmless
+    below any cell-boundary granularity.  Usage: f"WITH {cte}, ..." then
+    select from ``geo``.
+    """
+    cols: list[tuple[str, str]] = []
+    for stream, tag in ((1, "p"), (2, "q"), (3, "r"), (4, "s"), (5, "t")):
+        cols += u01_sql_stages("i", seed, stream, tag)
+    sql = f"g0 AS (SELECT i FROM range(0, {n}) t(i))"
+    prev = "g0"
+    for k, (col, expr) in enumerate(cols):
+        sql += f", g{k + 1} AS (SELECT *, {expr} AS {col} FROM {prev})"
+        prev = f"g{k + 1}"
+    acc = 0.0
+    bounds = []
+    for _clat, _clng, wgt in _CITY_CORES:
+        acc += wgt
+        bounds.append(acc)
+    rad = f"SQRT(-2.0 * LN(GREATEST(u2, 0.000000000001))) * {_CLUSTER_SIGMA!r}"
+    lat_cases = " ".join(
+        f"WHEN u1 < {b!r} THEN {core[0]!r} + ({rad}) * COS(2 * PI() * u3)"
+        for b, core in zip(bounds, _CITY_CORES)
+    )
+    lng_cases = " ".join(
+        f"WHEN u1 < {b!r} THEN {core[1]!r} + ({rad}) * SIN(2 * PI() * u3)"
+        for b, core in zip(bounds, _CITY_CORES)
+    )
+    sql += (
+        f", geo AS (SELECT i, "
+        f"CASE {lat_cases} ELSE u4 * 170.0 - 85.0 END AS lat, "
+        f"CASE {lng_cases} ELSE u5 * 360.0 - 180.0 END AS lng FROM {prev})"
+    )
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # images table
 # ---------------------------------------------------------------------------
