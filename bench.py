@@ -101,6 +101,114 @@ def flagship_job(spark, n_images: int, res_pip: int = 8, res_tile: int = 6) -> d
     return out
 
 
+def _calibrate(spark) -> float:
+    """Host-speed control: a fixed, data-free, pure-JVM workload (seeded
+    range → hash agg → sort) timed in the same process.  Reported as
+    ``calib_s`` so cross-round bench deltas can be normalized for host
+    drift (this VM shows CPU-steal spikes that moved untouched queries
+    30-40% between rounds; see ROUND4.md).  Min of 2 runs."""
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(0, 30_000_000, 1, 64)
+            .selectExpr("id % 9973 AS k", "id * 2654435761 AS v")
+            .groupBy("k")
+            .sum("v")
+            .orderBy("k")
+            .count()
+        )
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
+def run_ingest(cpus: int) -> dict:
+    """PBF ingestion A/B (round-4 single-pass work): reference-style
+    per-message parse vs vectorized flat parse on the same blobs, and
+    5-scan multi-pass load vs single-pass staged load of all five entity
+    tables from one multi-entity file."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from navgraph_osm_spark.sources import pbf
+
+    rng = np.random.default_rng(3)
+    n_nodes, n_ways, n_rels = 200_000, 40_000, 2_000
+    ids = np.arange(1, n_nodes + 1, dtype=np.int64)
+    lats = rng.integers(-80_000_000, 80_000_000, n_nodes) / 1e7
+    lngs = rng.integers(-179_000_000, 179_000_000, n_nodes) / 1e7
+    ntags = [({"name": f"n{i}"} if i % 20 == 0 else None) for i in range(n_nodes)]
+    ways = [
+        (w + 1, {"highway": "residential", "oneway": "yes" if w % 3 else "no"},
+         np.sort(rng.choice(ids, 8)))
+        for w in range(n_ways)
+    ]
+    rels = [
+        (r + 1, {"type": "restriction"},
+         [("way", r + 1, "from"), ("node", int(ids[r]), "via"),
+          ("way", r + 2, "to")])
+        for r in range(n_rels)
+    ]
+    tmp = tempfile.mkdtemp(prefix="navgraph_ingest_bench_")
+    path = os.path.join(tmp, "bench.osm.pbf")
+    pbf.write_osm_pbf(path, nodes=(ids, lats, lngs, ntags), ways=ways,
+                      relations=rels)
+    file_mb = round(os.path.getsize(path) / 1e6, 2)
+    blobs = []
+    with open(path, "rb") as f:
+        for off, ln, ty in pbf.pbf_manifest(path):
+            if ty == "OSMData":
+                f.seek(off)
+                blobs.append(pbf._decompress_blob(f.read(ln)))
+    t0 = time.time()
+    for b in blobs:
+        pbf.parse_primitive_block_ref(b)
+    ref_s = time.time() - t0
+    t0 = time.time()
+    for b in blobs:
+        pbf.parse_primitive_block_flat(b)
+    flat_s = time.time() - t0
+
+    spark = _spark(cpus)
+    _warmup(spark, cpus)
+    entities = ("nodes", "node_tags", "ways", "way_nodes",
+                "relation_members", "relation_tags")
+
+    def _materialize(tables):
+        return {e: tables[e].count() for e in entities}
+
+    t0 = time.time()
+    rows = _materialize(pbf.load_osm_tables(spark, path, single_pass=False))
+    multi_s = time.time() - t0
+    t0 = time.time()
+    _materialize(
+        pbf.load_osm_tables(spark, path, stage_dir=os.path.join(tmp, "stage"))
+    )
+    single_s = time.time() - t0
+    t0 = time.time()
+    _materialize(
+        pbf.load_osm_tables(spark, path, stage_dir=os.path.join(tmp, "stage"))
+    )
+    restage_s = time.time() - t0  # warm stage: pure partition-pruned reads
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": "pbf_ingest",
+        "file_mb": file_mb,
+        "blobs": len(blobs),
+        "parse_ref_s": round(ref_s, 3),
+        "parse_flat_s": round(flat_s, 3),
+        "parse_speedup": round(ref_s / flat_s, 1),
+        "load_multi_pass_s": round(multi_s, 3),
+        "load_single_pass_s": round(single_s, 3),
+        "load_warm_stage_s": round(restage_s, 3),
+        "rows": rows,
+        "cpus": cpus,
+    }
+
+
 def _warmup(spark, cpus: int) -> None:
     """Pay JVM codegen-compile + python worker fork/numpy-import once, before
     any timed query — the steady-state cost is the query, not startup."""
@@ -125,6 +233,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     spark = _spark(cpus)
     _warmup(spark, cpus)
+    calib_s = _calibrate(spark)
     names = [
         "sp_pip_join",
         "sp_tile_assignment",
@@ -187,6 +296,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "spatial_join_rows_per_sec": round(spatial_rows / flag_s, 1),
         "cpus": cpus,
         "plan_warm_s": plan_warm_s,
+        "calib_s": calib_s,
     }
     spark.stop()
     return result
@@ -297,6 +407,7 @@ def _append_baseline_md(rep: dict) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--ingest", action="store_true")
     ap.add_argument("--job-once", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=2)
@@ -307,6 +418,8 @@ def main() -> None:
 
     if args.job_once:
         print(json.dumps(run_job_once(args.cpus, args.images)))
+    elif args.ingest:
+        print(json.dumps(run_ingest(args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling(args.small, args.large, args.images)))
     else:

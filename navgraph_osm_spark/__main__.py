@@ -31,14 +31,22 @@ import time
 from pyspark.sql import SparkSession
 
 
-def _load_pbf(spark: SparkSession, path: str):
+def _load_pbf(spark: SparkSession, path: str, warehouse: str):
     """A real .osm.pbf extract → pipeline input tables (the reference's own
-    input path, main.cpp:47-57): nodes/ways/way_nodes from the PBF scans,
-    restrictions pivoted from the raw relation members + tag maps (F3)."""
+    input path, main.cpp:47-57): ONE single-pass decode job stages all
+    entities under the warehouse (each blob decompressed+parsed exactly
+    once, the reference's one-parse fan-out), then nodes/ways/way_nodes
+    are partition-pruned reads and restrictions are pivoted from the raw
+    relation members + tag maps (F3).  The stage is keyed by the file's
+    (path,size,mtime) fingerprint, so a changed input re-stages and —
+    because downstream checkpoint fingerprints hash the staged files —
+    invalidates resume."""
     from navgraph_osm_spark.operators.relations import pivot_restrictions
     from navgraph_osm_spark.sources.pbf import load_osm_tables
 
-    t = load_osm_tables(spark, path)
+    t = load_osm_tables(
+        spark, path, stage_dir=os.path.join(warehouse, "pbf_stage")
+    )
     return {
         "nodes": t["nodes"],
         "ways": t["ways"],  # tags map → F1/F2 dispatch to filter_ways_tags
@@ -101,18 +109,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         from navgraph_osm_spark.sources.synth import gen_road_grid
 
         t0 = time.time()
-        if args.demo_grid:
-            rows, cols = (int(v) for v in args.demo_grid.lower().split("x"))
-            tables = gen_road_grid(spark, rows=rows, cols=cols)
-        elif os.path.isfile(args.input_dir):
-            tables = _load_pbf(spark, args.input_dir)
-        else:
-            tables = _load_inputs(spark, args.input_dir)
         warehouse = args.warehouse or os.path.join(
             os.path.dirname(args.input_dir) if args.input_dir and os.path.isfile(args.input_dir)
             else (args.input_dir or "."),
             "_navgraph_warehouse",
         )
+        if args.demo_grid:
+            rows, cols = (int(v) for v in args.demo_grid.lower().split("x"))
+            tables = gen_road_grid(spark, rows=rows, cols=cols)
+        elif os.path.isfile(args.input_dir):
+            tables = _load_pbf(spark, args.input_dir, warehouse)
+        else:
+            tables = _load_inputs(spark, args.input_dir)
         out = run_full_pipeline(
             spark, warehouse, tables, res=args.res, resume=not args.no_resume,
             strict_turns=args.strict_turns, bucketed_turns=args.bucketed_turns,

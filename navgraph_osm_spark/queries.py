@@ -1118,13 +1118,14 @@ def s1_pbf_scan(spark, sf_dir):
     producer.hpp:14-44 / worker.hpp:52-72) and scanned back through the
     manifest-walk + mapInPandas source (sources/pbf.py).  Decoded nodes,
     way membership (order-preserving seq), and tag-derived oneway flags
-    must all equal the SQL-derived originals."""
-    from navgraph_osm_spark.sources.pbf import scan_pbf
+    must all equal the SQL-derived originals.  Reads go through the
+    SINGLE-PASS loader (each blob decoded exactly once into a
+    partitionBy-entity stage, the reference's one-parse fan-out)."""
+    from navgraph_osm_spark.sources.pbf import load_osm_tables
 
     path = _pbf_fixture(spark, sf_dir)
-    nodes = scan_pbf(spark, path, "nodes")
-    ways = scan_pbf(spark, path, "ways")
-    wn = scan_pbf(spark, path, "way_nodes")
+    t = load_osm_tables(spark, path)
+    nodes, ways, wn = t["nodes"], t["ways"], t["way_nodes"]
     ow = ways.select(
         F.col("id").alias("way_id"),
         (F.try_element_at("tags", F.lit("oneway")) == "yes").alias("oneway"),

@@ -6,6 +6,7 @@ PBF → graph-build pipeline with hand-computed reference counters
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -222,3 +223,140 @@ def test_pbf_restrictions_pivot(spark, tiny_pbf):
     assert len(got) == 1
     r = got[0]
     assert (r["from_way"], r["via_node"], r["to_way"]) == (100, 12, 101)
+
+
+def test_single_pass_decodes_each_blob_once(spark, tmp_path):
+    """The single-pass loader (reference one-parse fan-out, main.cpp:59-222)
+    must decompress+parse each blob EXACTLY once even when all six entity
+    tables are materialized — the per-entity scan path would decode 6×."""
+    path = _grid_graph(tmp_path)
+    # add relations so every entity family is populated
+    rels = [
+        (
+            9,
+            {"type": "restriction", "restriction": "no_left_turn"},
+            [("way", 1, "from"), ("node", 999, "via"), ("way", 2, "to")],
+        )
+    ]
+    path2 = str(tmp_path / "multi.osm.pbf")
+    import shutil
+
+    shutil.copy(path, path2)
+    tmp = str(tmp_path / "relonly.osm.pbf")
+    pbf.write_osm_pbf(tmp, relations=rels)
+    man = pbf.pbf_manifest(tmp)
+    with open(tmp, "rb") as g:
+        data = g.read()
+    with open(path2, "ab") as f:
+        # append everything after the OSMHeader frame (the data blobs)
+        first_off, first_len, _ = man[0]
+        f.write(data[first_off + first_len:])
+
+    blobs = [m for m in pbf.pbf_manifest(path2) if m[2] == "OSMData"]
+    log = str(tmp_path / "decode_log")
+    t = pbf.load_osm_tables(
+        spark, path2, stage_dir=str(tmp_path / "stage"), decode_log=log
+    )
+    for df in t.values():  # materialize EVERY entity table
+        df.count()
+    markers = os.listdir(log)
+    assert len(markers) == len(blobs)
+    decoded = {int(m.split("_")[0][4:]) for m in markers}
+    assert decoded == {off for off, _ln, _ty in blobs}
+    # the staged tables carry real rows for each family
+    assert t["nodes"].count() > 0
+    assert t["way_nodes"].count() > 0
+    assert t["relation_members"].count() == 3
+    assert {r["rel_id"] for r in t["relation_tags"].collect()} == {9}
+
+
+def test_single_pass_matches_per_entity_scans(spark, tiny_pbf, tmp_path):
+    """Union-stage reads == independent per-entity scans, row for row."""
+    single = pbf.load_osm_tables(
+        spark, tiny_pbf, stage_dir=str(tmp_path / "stage")
+    )
+    multi = pbf.load_osm_tables(spark, tiny_pbf, single_pass=False)
+    for entity in ("nodes", "ways", "way_nodes", "relation_members",
+                   "relation_tags", "node_tags"):
+        if entity == "node_tags":
+            a = {r["id"]: r["tags"] for r in single[entity].collect()}
+            b = {r["id"]: r["tags"] for r in
+                 pbf.scan_pbf(spark, tiny_pbf, "node_tags").collect()}
+            assert a == b
+            continue
+        a = sorted(map(tuple, single[entity].collect()))
+        b = sorted(map(tuple, multi[entity].collect()))
+        assert a == b, entity
+
+
+def test_stage_reuse_and_invalidation(spark, tmp_path):
+    """Re-loading an unchanged file reuses the stage (no new decodes);
+    touching the file re-stages (pbf_file_fingerprint covers mtime)."""
+    path = _grid_graph(tmp_path, n_ways=2, nodes_per_way=3)
+    log = str(tmp_path / "log1")
+    stage_root = str(tmp_path / "stage")
+    pbf.load_osm_tables(spark, path, stage_dir=stage_root, decode_log=log)["nodes"].count()
+    n1 = len(os.listdir(log))
+    assert n1 > 0
+    # second load, same file: stage hit, zero additional decodes
+    pbf.load_osm_tables(spark, path, stage_dir=stage_root, decode_log=log)["nodes"].count()
+    assert len(os.listdir(log)) == n1
+    # touch the file: new fingerprint, fresh stage
+    os.utime(path, ns=(1_000_000_000_000_000_000, 1_000_000_000_000_000_001))
+    pbf.load_osm_tables(spark, path, stage_dir=stage_root, decode_log=log)["nodes"].count()
+    assert len(os.listdir(log)) == 2 * n1
+
+
+def test_flat_parser_matches_reference_parser(tmp_path):
+    """parse_primitive_block_flat (vectorized cross-message decode) is
+    entity-for-entity equal to the per-message reference walk on a block
+    mixing tagged dense nodes, multi-ref ways, and relations."""
+    path = str(tmp_path / "eq.osm.pbf")
+    rng = np.random.default_rng(11)
+    n = 500
+    ids = np.sort(rng.choice(10**9, n, replace=False)).astype(np.int64)
+    lats = rng.integers(-80_000_000, 80_000_000, n) / 1e7
+    lngs = rng.integers(-179_000_000, 179_000_000, n) / 1e7
+    ntags = [
+        {"name": f"n{i}", "ele": str(i % 7)} if i % 3 == 0 else None
+        for i in range(n)
+    ]
+    ways = [
+        (
+            w + 1,
+            {"highway": "residential", "ref": f"W{w}"} if w % 2 else {},
+            np.sort(rng.choice(ids, rng.integers(2, 9))),
+        )
+        for w in range(60)
+    ]
+    rels = [
+        (
+            r + 1,
+            {"type": "restriction"},
+            [("way", int(ways[r][0]), "from"), ("node", int(ids[r]), "via"),
+             ("way", int(ways[r + 1][0]), "to")],
+        )
+        for r in range(20)
+    ]
+    pbf.write_osm_pbf(path, nodes=(ids, lats, lngs, ntags), ways=ways,
+                      relations=rels, block_size=97)
+    with open(path, "rb") as f:
+        for off, ln, typ in pbf.pbf_manifest(path):
+            if typ != "OSMData":
+                continue
+            f.seek(off)
+            data = pbf._decompress_blob(f.read(ln))
+            ref = pbf.parse_primitive_block_ref(data)
+            got = pbf._legacy_from_flat(pbf.parse_primitive_block_flat(data))
+            assert got["nodes"][0].tolist() == ref["nodes"][0].tolist()
+            assert got["nodes"][1].tolist() == ref["nodes"][1].tolist()
+            assert got["nodes"][2].tolist() == ref["nodes"][2].tolist()
+            assert got["nodes"][3] == ref["nodes"][3]
+            assert len(got["ways"]) == len(ref["ways"])
+            for (gi, gt, gr), (ri, rt, rr) in zip(got["ways"], ref["ways"]):
+                assert (gi, gt, gr.tolist()) == (ri, rt, rr.tolist())
+            assert len(got["relations"]) == len(ref["relations"])
+            for g, r in zip(got["relations"], ref["relations"]):
+                assert (g[0], g[1], list(g[2]), g[3].tolist(), g[4].tolist()) == (
+                    r[0], r[1], list(r[2]), r[3].tolist(), r[4].tolist()
+                )
