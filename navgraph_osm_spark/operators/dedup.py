@@ -85,9 +85,11 @@ def _band_rows_for_threshold(
         b = num_hashes // r
         if b and (1.0 - threshold**r) ** b <= miss_target:
             return r, num_hashes
-    # raise num_hashes until r=2 satisfies the target (b = ceil bound)
+    # raise num_hashes until r=2 satisfies the target (b = ceil bound);
+    # never REDUCE a caller-supplied budget — an explicit num_hashes above
+    # MAX_AUTO_HASHES keeps all its bands (the cap only limits auto-raising)
     b_needed = math.ceil(math.log(miss_target) / math.log(1.0 - threshold**2))
-    return 2, min(2 * b_needed, MAX_AUTO_HASHES)
+    return 2, max(num_hashes, min(2 * b_needed, MAX_AUTO_HASHES))
 
 
 def ngram_jaccard_pairs(

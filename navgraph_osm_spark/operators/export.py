@@ -54,16 +54,23 @@ def _halves_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
     import pyarrow.compute as pc
 
     for rb in batches:
+        counts0 = pc.list_value_length(rb.column(1)).to_numpy().astype(np.int64)
+        if counts0.size == 0:
+            continue
+        ok = counts0 >= 2
+        if not ok.all():
+            # degenerate (<2 point) geometries never occur in the edge
+            # builder's output; split them out ROW-WISE so ordinary edges in
+            # the same batch keep the vector path's exact arithmetic (batch
+            # composition must never change a normal edge's midpoint)
+            bad = rb.take(pa.array(np.flatnonzero(~ok)))
+            yield from _halves_fallback(bad)
+            if not ok.any():
+                continue
+            rb = rb.take(pa.array(np.flatnonzero(ok)))
         edge_ids = rb.column(0)
         geom = rb.column(1)
         counts = pc.list_value_length(geom).to_numpy().astype(np.int64)
-        n = counts.size
-        if n == 0 or counts.min() < 2:
-            # degenerate geometries (single-point edges) never occur in the
-            # edge builder's output; route them through a trivial per-row
-            # fallback rather than complicating the vector path
-            yield from _halves_fallback(rb)
-            continue
         flat = pc.list_flatten(geom)
         lats = flat.field("lat").to_numpy()
         lngs = flat.field("lng").to_numpy()

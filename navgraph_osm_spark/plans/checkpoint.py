@@ -54,7 +54,11 @@ def input_fingerprint(df: DataFrame) -> str:
     Purely-derived inputs (synthesised frames with no files) fall back to
     the semantic hash of the logical plan, which catches changed derivation
     logic but not changed source bytes — callers with mutable non-file
-    sources should pass their own fingerprint string instead.
+    sources should pass their own fingerprint string instead.  PBF inputs
+    never hit that fallback in the CLI path: ``sources.pbf.load_osm_tables``
+    stages the decode into parquet keyed by ``pbf_file_fingerprint``
+    (path, size, mtime_ns), so the tables this function sees are
+    file-backed and an edited ``.osm.pbf`` re-stages under a new key.
     """
     files = sorted(df.inputFiles())
     if files:

@@ -94,15 +94,32 @@ class TableWriter:
         are read pre-partitioned, so the join plans with ZERO Exchange
         nodes — the Spark analogue of the reference laying out edge files
         per pixel before turn expansion (reference main.cpp:587-708 → 918).
-        Iceberg maps to a bucket() partition transform + storage-partitioned
-        joins; the Parquet fallback uses the session catalog's bucket spec.
+        Iceberg maps to bucket() partition transforms (one per key column,
+        mirroring the Parquet path's multi-column bucket spec) + a
+        WRITE ORDERED BY sort order, and requires the storage-partitioned
+        join (SPJ) session configs — set here — for the exchange-free plan;
+        the Parquet fallback uses the session catalog's bucket spec.
         """
         tbl = self._catalog_name(name)
         if self.use_iceberg:
+            # SPJ prerequisites (harmless if already set): without these the
+            # co-located read degrades to a normal shuffled join
+            for k, v in (
+                ("spark.sql.sources.v2.bucketing.enabled", "true"),
+                ("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true"),
+                ("spark.sql.requireAllClusterKeysForCoPartition", "false"),
+            ):
+                self.spark.conf.set(k, v)
             writer = df.writeTo(f"local.{name}").partitionedBy(
-                F.bucket(n_buckets, bucket_cols[0])
+                F.bucket(n_buckets, bucket_cols[0]),
+                *[F.bucket(n_buckets, c) for c in bucket_cols[1:]],
             )
             writer.createOrReplace()
+            if sort_cols:
+                cols = ", ".join(sort_cols)
+                self.spark.sql(
+                    f"ALTER TABLE local.{name} WRITE ORDERED BY ({cols})"
+                )
             return f"local.{name}"
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         w = (

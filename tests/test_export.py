@@ -142,3 +142,49 @@ def test_halves_kernel_split_equality_case():
     # half == 5.0 == cum[1] exactly → split=2 → mid is the middle vertex
     assert [(p["lat"], p["lng"]) for p in hi] == [(0.0, 0.0), (3.0, 4.0), (3.0, 4.0)]
     assert [(p["lat"], p["lng"]) for p in ho] == [(3.0, 4.0), (6.0, 8.0)]
+
+
+def test_halves_kernel_mixed_degenerate_batch_bit_exact():
+    """A degenerate (<2-point) geometry in a batch must NOT change any
+    ordinary edge's arithmetic: normal rows still take the vector path, so
+    their midpoints are bitwise identical to an all-normal batch (batch
+    composition independence)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from navgraph_osm_spark.operators.export import _halves_kernel
+
+    rng = np.random.default_rng(23)
+    edges = [
+        (e, rng.uniform(-80, 80, int(rng.integers(2, 9))), None) for e in range(40)
+    ]
+    edges = [(e, la, rng.uniform(-179, 179, la.size)) for e, la, _ in edges]
+
+    def _batch(rows):
+        struct = pa.StructArray.from_arrays(
+            [pa.array(np.concatenate([r[1] for r in rows])),
+             pa.array(np.concatenate([r[2] for r in rows]))],
+            ["lat", "lng"],
+        )
+        offs = np.concatenate(([0], np.cumsum([len(r[1]) for r in rows]))).astype(np.int32)
+        geom = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
+        return pa.RecordBatch.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()), geom], ["edge_id", "geom"]
+        )
+
+    def _collect(batches):
+        got = {}
+        for rb in batches:
+            for i, eid in enumerate(rb.column(0).to_pylist()):
+                got[eid] = (rb.column(1).to_pylist()[i], rb.column(2).to_pylist()[i])
+        return got
+
+    pure = _collect(_halves_kernel(iter([_batch(edges)])))
+    degenerate = (999, np.array([7.0]), np.array([8.0]))
+    mixed = _collect(
+        _halves_kernel(iter([_batch(edges[:20] + [degenerate] + edges[20:])]))
+    )
+    for e, _la, _ln in edges:
+        assert mixed[e] == pure[e], e  # bitwise: dict equality on floats
+    # the degenerate row itself survives via the fallback
+    assert len(mixed[999][0]) >= 1 and len(mixed[999][1]) >= 1
