@@ -234,6 +234,71 @@ def frame_sample_batches(every_k: int = 4):
     return _sample
 
 
+def audio_features_oracle_sql(n: int, seed: int = 42, sr: int = 8000) -> str:
+    """DuckDB SQL regenerating :func:`gen_audio`'s PCM FROM SCRATCH and
+    computing the SQL-closable audio features — a fully independent
+    cross-engine oracle for the audio decode+feature path.
+
+    splitmix64 is reproduced bit-for-bit (HUGEINT 32-bit-halves modular
+    multiplication, the ``skew_adaptive_split_images`` technique), the
+    int16 quantization uses banker's rounding (``roundbankers``, matching
+    ``np.round``), and RMS / zero-crossing-rate / duration are computed
+    over the regenerated samples with a per-clip window for the crossing
+    test.  Enforced in pytest
+    (tests/test_media.py::test_audio_features_match_duckdb_oracle).
+
+    Why the ``media_features`` driver slot stays rows-only anyway: its img
+    leg needs NGI1 image decode + embedding cosine top-k and its vid leg
+    needs frame decode + perceptual hashing (not expressible in SQL), and
+    the audio spectral centroid needs an FFT — the two-tone's closed-form
+    Dirichlet spectrum breaks under int16 quantization, so no per-sample
+    SQL reformulation exists short of an O(n²) DFT.  The SQL-closable
+    audio math is verified HERE instead.
+    """
+    from navgraph_osm_spark.sources.synth import splitmix64_sql_stages
+
+    cols = splitmix64_sql_stages(
+        f"xor(CAST(i AS UBIGINT), {seed})", "h"
+    ) + splitmix64_sql_stages(f"xor(CAST(i AS UBIGINT), {seed + 3})", "g")
+    sql = f"WITH a0 AS (SELECT i FROM range(0, {n}) t(i))"
+    prev = "a0"
+    for k, (col, expr) in enumerate(cols):
+        sql += f", a{k + 1} AS (SELECT *, {expr} AS {col} FROM {prev})"
+        prev = f"a{k + 1}"
+    sql += f"""
+    , params AS (
+        SELECT i,
+               110.0 * (1 + CAST(h % 32 AS DOUBLE)) AS f0,
+               CAST(h % 997 AS DOUBLE) / 997.0 * 2 * PI() AS phase,
+               {sr // 2} + CAST(g % {sr} AS BIGINT) AS n_samp
+        FROM {prev})
+    , samp AS (
+        SELECT i, f0, phase, n_samp,
+               unnest(generate_series(0, n_samp - 1)) AS s
+        FROM params)
+    , pcm AS (
+        SELECT i, n_samp, s,
+               roundbankers(20000 * (
+                   0.6 * SIN(2 * PI() * f0 * (s / {sr}.0) + phase)
+                 + 0.3 * SIN(2 * PI() * 2 * f0 * (s / {sr}.0))), 0) AS v
+        FROM samp)
+    , lagged AS (
+        SELECT i, n_samp, s, v,
+               LAG(v) OVER (PARTITION BY i ORDER BY s) AS prev
+        FROM pcm)
+    SELECT printf('aud%08d', i) AS audio_id,
+           ROUND(CAST(n_samp AS DOUBLE) / {sr}.0, 6) AS duration_s,
+           ROUND(SQRT(AVG((v / 32768.0) * (v / 32768.0))), 6) AS rms,
+           ROUND(AVG(CASE WHEN s = 0 THEN NULL
+                          WHEN (v < 0) != (prev < 0) THEN 1.0
+                          ELSE 0.0 END), 6) AS zero_cross_rate
+    FROM lagged
+    GROUP BY i, n_samp
+    ORDER BY i
+    """
+    return sql
+
+
 def external_media_decoder_stub(data: bytes, codec: str) -> np.ndarray:
     """Seam for a REAL media decoder (mp3/aac/h264...).
 

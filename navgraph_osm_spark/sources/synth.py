@@ -62,25 +62,38 @@ def _mulmod64_sql(y: str, c: int) -> str:
     )
 
 
+def splitmix64_sql_stages(x: str, tag: str) -> list[tuple[str, str]]:
+    """CTE column stages computing splitmix64 of a UBIGINT expression
+    BIT-FOR-BIT in DuckDB (wrapping adds/multiplies via
+    :func:`_mulmod64_sql`).  Final column name is ``{tag}``."""
+    return [
+        (f"{tag}a",
+         f"CAST((CAST(({x}) AS HUGEINT) + 11400714819323198485) "
+         f"% 18446744073709551616 AS UBIGINT)"),
+        (f"{tag}b", _mulmod64_sql(f"xor({tag}a, {tag}a >> 30)", 0xBF58476D1CE4E5B9)),
+        (f"{tag}c", _mulmod64_sql(f"xor({tag}b, {tag}b >> 27)", 0x94D049BB133111EB)),
+        (tag, f"xor({tag}c, {tag}c >> 31)"),
+    ]
+
+
 def u01_sql_stages(id_col: str, seed: int, stream: int, tag: str) -> list[tuple[str, str]]:
     """CTE column stages reproducing :func:`_u01` BIT-FOR-BIT in DuckDB.
 
     The stream key (inner splitmix64 of seed*1315423911+stream) is
     precomputed here and inlined; the outer splitmix64 runs in SQL via
-    :func:`_mulmod64_sql`.  Final column name is ``u{stream}``.  Tested
-    exact against numpy for every stream (tests/test_synth_sql.py).
+    :func:`splitmix64_sql_stages`.  Final column name is ``u{stream}``.
+    Tested exact against numpy for every stream (tests/test_synth_sql.py).
     """
     key = int(splitmix64(np.array([seed * 1315423911 + stream], dtype=np.uint64))[0])
-    x = f"xor(CAST({id_col} AS UBIGINT), {key})"
-    return [
-        (f"{tag}a",
-         f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485) "
-         f"% 18446744073709551616 AS UBIGINT)"),
-        (f"{tag}b", _mulmod64_sql(f"xor({tag}a, {tag}a >> 30)", 0xBF58476D1CE4E5B9)),
-        (f"{tag}c", _mulmod64_sql(f"xor({tag}b, {tag}b >> 27)", 0x94D049BB133111EB)),
-        (f"u{stream}",
-         f"CAST(xor({tag}c, {tag}c >> 31) >> 11 AS DOUBLE) / 9007199254740992.0"),
-    ]
+    stages = splitmix64_sql_stages(
+        f"xor(CAST({id_col} AS UBIGINT), {key})", f"{tag}z"
+    )
+    # rescale the 64-bit mix to uniform [0,1) exactly as _u01 does
+    stages[-1] = (
+        f"u{stream}",
+        f"CAST(({stages[-1][1]}) >> 11 AS DOUBLE) / 9007199254740992.0",
+    )
+    return stages
 
 
 def image_geo_sql_cte(n: int, seed: int = 42) -> str:

@@ -57,3 +57,30 @@ def test_video_roundtrip_and_frame_sample(spark):
 def test_external_decoder_stub():
     with pytest.raises(NotImplementedError):
         media.external_media_decoder_stub(b"...", "h264")
+
+
+def test_audio_features_match_duckdb_oracle(spark):
+    """Cross-engine oracle for the audio decode+feature path: DuckDB
+    regenerates the PCM from scratch (splitmix64 bit-for-bit via HUGEINT
+    mulmod, banker's-rounding int16 quantization) and must agree with the
+    Spark kernel (gen_audio bytes → decode_pcm → audio_features_batches)
+    on duration / RMS / zero-crossing rate for every clip.  The spectral
+    centroid and the media_features img/vid legs do not close in SQL (FFT
+    / NGI1 decode) — documented in audio_features_oracle_sql."""
+    import duckdb
+
+    n = 120
+    got = {
+        r["audio_id"]: (
+            round(r["duration_s"], 6),
+            round(r["rms"], 6),
+            round(r["zero_cross_rate"], 6),
+        )
+        for r in media.gen_audio(spark, n, seed=42, partitions=4)
+        .mapInPandas(media.audio_features_batches, schema=media.AUDIO_FEATURES_SCHEMA)
+        .collect()
+    }
+    odf = duckdb.sql(media.audio_features_oracle_sql(n, seed=42)).df()
+    assert len(got) == len(odf) == n
+    for o in odf.itertuples(index=False):
+        assert got[o.audio_id] == (o.duration_s, o.rms, o.zero_cross_rate), o.audio_id
