@@ -107,18 +107,39 @@ def find_middle_point_np(lats: np.ndarray, lngs: np.ndarray) -> tuple[float, flo
 
 
 def points_in_polygon_np(
-    plat: np.ndarray, plng: np.ndarray, poly_lat: np.ndarray, poly_lng: np.ndarray
+    plat: np.ndarray,
+    plng: np.ndarray,
+    poly_lat: np.ndarray,
+    poly_lng: np.ndarray,
+    ring_starts=None,
 ) -> np.ndarray:
     """Vectorized even-odd ray casting: are points inside the polygon?
 
     Boundary handling: points exactly on a horizontal edge follow the
     even-odd crossing convention (deterministic, matches the numpy oracle
     used by the tests).
+
+    ``ring_starts`` (optional, e.g. ``[0, 4]``) splits the flat vertex
+    arrays into rings — outer boundary first, then holes / additional
+    shells (OSM multipolygon relations, building footprints with
+    courtyards).  Each ring is closed independently and crossings are
+    summed across rings, so even-odd parity gives hole semantics: a point
+    inside both the outer ring and a hole counts two crossings → outside.
+    ``None`` or a single ring is the plain polygon case.
     """
     plat = np.asarray(plat, dtype=np.float64)
     plng = np.asarray(plng, dtype=np.float64)
     vy = np.asarray(poly_lat, dtype=np.float64)
     vx = np.asarray(poly_lng, dtype=np.float64)
+    if ring_starts is not None and len(ring_starts) > 1:
+        starts = [int(s) for s in ring_starts]
+        bounds = starts + [vy.size]
+        inside = np.zeros(plat.shape, dtype=bool)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b > a:
+                # XOR of per-ring parities == parity of the summed crossings
+                inside ^= points_in_polygon_np(plat, plng, vy[a:b], vx[a:b])
+        return inside
     if vy.size and (vy[0] != vy[-1] or vx[0] != vx[-1]):
         vy = np.concatenate((vy, vy[:1]))
         vx = np.concatenate((vx, vx[:1]))

@@ -116,12 +116,13 @@ def tile_assignment(images: DataFrame, res: int) -> DataFrame:
 _REFINE_HELP_COLS = ("__plat", "__plng", "__fp_lat", "__fp_lng")
 
 
-def _refine_kernel(id_cols: list[str]):
+def _refine_kernel(id_cols: list[str], has_rings: bool = False):
     """Kernel factory: exact point-in-polygon refinement over candidate pairs.
 
     Vectorizes over all points sharing a polygon (grouped by the polygon id,
     ``id_cols[1]``) within the Arrow batch; yields only the id columns of
-    surviving pairs.
+    surviving pairs.  ``has_rings`` reads the carried ``__fp_rings`` ring
+    offsets (holes / multipolygon shells — crossings summed across rings).
     """
     pid_col = id_cols[1]
 
@@ -135,8 +136,10 @@ def _refine_kernel(id_cols: list[str]):
                 rows = pdf.loc[idx]
                 fp_lat = np.asarray(rows["__fp_lat"].iloc[0], dtype=np.float64)
                 fp_lng = np.asarray(rows["__fp_lng"].iloc[0], dtype=np.float64)
+                starts = rows["__fp_rings"].iloc[0] if has_rings else None
                 keep[pdf.index.get_indexer(idx)] = points_in_polygon_np(
-                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(), fp_lat, fp_lng
+                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(),
+                    fp_lat, fp_lng, ring_starts=starts,
                 )
             yield pdf.loc[keep, id_cols]
 
@@ -146,7 +149,8 @@ def _refine_kernel(id_cols: list[str]):
 def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
     """Refinement with the polygon table shipped once per executor (broadcast)
     instead of per candidate row — the polygon side is a dim table (the
-    reference's restriction-broadcast pattern, SURVEY.md §2.3 J8/J9)."""
+    reference's restriction-broadcast pattern, SURVEY.md §2.3 J8/J9).
+    Map values are (fp_lat, fp_lng, ring_starts|None) triples."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         polys = poly_bc.value
@@ -157,10 +161,11 @@ def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
             for pid, idx in pdf.groupby(pid_col, sort=False).groups.items():
-                fp_lat, fp_lng = polys[pid]
+                fp_lat, fp_lng, starts = polys[pid]
                 rows = pdf.loc[idx]
                 keep[pdf.index.get_indexer(idx)] = points_in_polygon_np(
-                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(), fp_lat, fp_lng
+                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(),
+                    fp_lat, fp_lng, ring_starts=starts,
                 )
             yield pdf.loc[keep, id_cols]
 
@@ -241,8 +246,17 @@ def point_in_polygon_join(
     fp: str = "footprint",
     exact: bool = True,
     broadcast_polys: bool | None = None,
+    rings: str = "ring_offsets",
 ) -> DataFrame:
     """Points ⋈ polygons containment join.
+
+    Multi-ring polygons (holes / OSM multipolygon shells): when the
+    polygon table carries a ``rings`` column (``array<int>`` of ring start
+    offsets into the flat footprint, e.g. ``[0, 4]`` for a donut; null or
+    single-entry = plain polygon), the refinement sums ray crossings across
+    rings — even-odd parity excludes hole interiors.  Multi-ring rows are
+    never rect-fast-pathed; single-ring rows are unaffected, so a
+    rectangles-only workload still never leaves codegen.
 
     Plan (all candidate work JVM-side):
 
@@ -268,16 +282,24 @@ def point_in_polygon_join(
     kernel (arbitrarily large polygon tables).
     """
     sc = points.sparkSession.sparkContext
+    has_rings = rings in polygons.columns
+    single_ring = (
+        (F.col(rings).isNull() | (F.size(F.col(rings)) <= 1))
+        if has_rings
+        else F.lit(True)
+    )
+    poly_cols = [poly_id, fp] + ([rings] if has_rings else [])
     pts = assign_cells(points.select(point_id, lat, lng), res, lat, lng)
-    polys = covering_cells(polygons.select(poly_id, fp), res, fp, keep_bbox=True)
+    polys = covering_cells(polygons.select(*poly_cols), res, fp, keep_bbox=True)
     # rect detection evaluated on the (small) polygon-cell side, not per
-    # candidate pair
+    # candidate pair; a multi-ring footprint is never a plain rectangle
     polys = polys.withColumn(
         "__rect",
         _is_axis_rect_expr(
             F.col(fp), F.col("lat_min"), F.col("lat_max"),
             F.col("lng_min"), F.col("lng_max"),
-        ),
+        )
+        & single_ring,
     )
 
     cand = pts.join(polys, "cell").filter(
@@ -300,17 +322,20 @@ def point_in_polygon_join(
         # runs a polygon collect() or a mapInPandas stage — and (c) ships
         # the NON-rect vertices for the broadcast map in the same pass, so
         # no second collect job ever runs.
-        pb = footprint_bbox(polygons.select(poly_id, fp), fp)
+        pb = footprint_bbox(polygons.select(*poly_cols), fp)
         rect = _is_axis_rect_expr(
             F.col(fp), F.col("lat_min"), F.col("lat_max"),
             F.col("lng_min"), F.col("lng_max"),
-        )
+        ) & single_ring
         probe = (
             pb.select(
                 F.col(poly_id),
                 F.size(F.col(fp)).alias("nv"),
                 rect.alias("rect"),
                 F.when(~rect, F.col(fp)).alias("__fp"),
+                (F.when(~rect, F.col(rings)) if has_rings else F.lit(None)).alias(
+                    "__rings"
+                ),
             )
             .limit(BROADCAST_POLY_LIMIT + 1)
             .collect()
@@ -326,6 +351,7 @@ def point_in_polygon_join(
                 r[poly_id]: (
                     np.array([p["lat"] for p in r["__fp"]], dtype=np.float64),
                     np.array([p["lng"] for p in r["__fp"]], dtype=np.float64),
+                    r["__rings"],
                 )
                 for r in probe
                 if not r["rect"]
@@ -344,6 +370,8 @@ def point_in_polygon_join(
             F.transform(F.col(fp), lambda p: p["lat"]).alias("__fp_lat"),
             F.transform(F.col(fp), lambda p: p["lng"]).alias("__fp_lng"),
         ]
+        if has_rings:
+            rest_cols.append(F.col(rings).alias("__fp_rings"))
     rest = rest.select(*rest_cols)
     # refinement input inherits the cell join's skew (dense city-core cells);
     # refinement is row-independent, so rebalance before the python stage.
@@ -363,22 +391,26 @@ def point_in_polygon_join(
         if probed_map is not None:
             poly_map = probed_map
         else:
-            pb = footprint_bbox(polygons.select(poly_id, fp), fp)
+            pb = footprint_bbox(polygons.select(*poly_cols), fp)
             nonrect = pb.filter(
-                ~_is_axis_rect_expr(
-                    F.col(fp), F.col("lat_min"), F.col("lat_max"),
-                    F.col("lng_min"), F.col("lng_max"),
+                ~(
+                    _is_axis_rect_expr(
+                        F.col(fp), F.col("lat_min"), F.col("lat_max"),
+                        F.col("lng_min"), F.col("lng_max"),
+                    )
+                    & single_ring
                 )
             )
             poly_map = {
                 r[poly_id]: (
                     np.array([p["lat"] for p in r[fp]], dtype=np.float64),
                     np.array([p["lng"] for p in r[fp]], dtype=np.float64),
+                    r[rings] if has_rings else None,
                 )
-                for r in nonrect.select(poly_id, fp).collect()
+                for r in nonrect.select(*poly_cols).collect()
             }
         kernel = _refine_kernel_broadcast([point_id, poly_id], sc.broadcast(poly_map))
     else:
-        kernel = _refine_kernel([point_id, poly_id])
+        kernel = _refine_kernel([point_id, poly_id], has_rings=has_rings)
     refined = rest.mapInPandas(kernel, schema=out_schema)
     return rect_hits.unionByName(refined)

@@ -859,6 +859,59 @@ def triangles_as_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select((F.col("box_id") + 1_000_000).alias("box_id"), fp.alias("footprint"))
 
 
+def donuts_as_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-RING footprints derived from the box params: the box as outer
+    ring plus a half-size hole around the same center (``ring_offsets``
+    [0, 4]), ids offset by 2e6.  These rows exercise the ring-summed
+    even-odd refinement (hole semantics — OSM multipolygon relations /
+    courtyard footprints); the oracle reproduces the kernel's per-ring
+    half-open rectangle semantics term for term.
+
+    Hole bounds are (3*lat0+lat1)/4 .. (lat0+3*lat1)/4 (same for lng) —
+    written with the identical IEEE expression shape in Spark and SQL so
+    both engines compute bit-equal boundaries."""
+    b = boxes_df(spark, sf_dir)
+    lat0h = (F.lit(3.0) * F.col("lat0") + F.col("lat1")) / F.lit(4.0)
+    lat1h = (F.col("lat0") + F.lit(3.0) * F.col("lat1")) / F.lit(4.0)
+    lng0h = (F.lit(3.0) * F.col("lng0") + F.col("lng1")) / F.lit(4.0)
+    lng1h = (F.col("lng0") + F.lit(3.0) * F.col("lng1")) / F.lit(4.0)
+
+    def _pt(la, ln):
+        return F.struct(la.alias("lat"), ln.alias("lng"))
+
+    fp = F.array(
+        # outer ring: perimeter order (same as boxes_as_polygons)
+        _pt(F.col("lat0"), F.col("lng0")),
+        _pt(F.col("lat0"), F.col("lng1")),
+        _pt(F.col("lat1"), F.col("lng1")),
+        _pt(F.col("lat1"), F.col("lng0")),
+        # hole ring
+        _pt(lat0h, lng0h),
+        _pt(lat0h, lng1h),
+        _pt(lat1h, lng1h),
+        _pt(lat1h, lng0h),
+    )
+    return b.select(
+        (F.col("box_id") + 2_000_000).alias("box_id"),
+        fp.alias("footprint"),
+        F.array(F.lit(0), F.lit(4)).alias("ring_offsets"),
+    )
+
+
+# ray-casting an axis-aligned rect ring (perimeter order) reduces exactly to
+# the half-open box [lat0,lat1) x [lng0,lng1): horizontal edges contribute 0
+# crossings, the two vertical edges contribute (plng < lng1) + (plng < lng0)
+# when lat0 <= plat < lat1.  The donut is outer-box AND NOT hole-box with
+# those semantics — term-for-term what the ring-summed kernel computes.
+_DONUT_SQL = """
+    p.lat >= b.lat0 AND p.lat < b.lat1 AND p.lng >= b.lng0 AND p.lng < b.lng1
+    AND NOT (p.lat >= (3.0 * b.lat0 + b.lat1) / 4.0
+         AND p.lat <  (b.lat0 + 3.0 * b.lat1) / 4.0
+         AND p.lng >= (3.0 * b.lng0 + b.lng1) / 4.0
+         AND p.lng <  (b.lng0 + 3.0 * b.lng1) / 4.0)
+"""
+
+
 # The exact even-odd crossing test of functions.geo.points_in_polygon_np,
 # unrolled for the planted triangle A=(lat0,lng0) B=(lat0,lng1) C=(lat1,lng0)
 # (closed C→A): edge A→B is horizontal (contributes 0 crossings); the two
@@ -884,21 +937,27 @@ _TRI_CROSSING_SQL = """
     UNION ALL
     SELECT p.point_id, b.box_id + 1000000 AS box_id FROM pts p JOIN boxes b
     ON {_TRI_CROSSING_SQL.strip()}
+    UNION ALL
+    SELECT p.point_id, b.box_id + 2000000 AS box_id FROM pts p JOIN boxes b
+    ON {_DONUT_SQL.strip()}
     """,
 )
 def sp_pip_join(spark, sf_dir):
     """Headline spatial join over a MIXED polygon set: rectangles (decided
-    entirely in codegen by the bbox prefilter + rect fast path) plus
-    planted right triangles (routed through the Arrow ray-cast refinement).
-    BOTH paths are oracled — the triangle half reproduces the kernel's
-    even-odd crossing arithmetic in SQL, so the driver gate covers the
-    exact-refinement kernel, not just the rectangle shortcut."""
+    entirely in codegen by the bbox prefilter + rect fast path), planted
+    right triangles (routed through the Arrow ray-cast refinement), and
+    planted DONUTS (multi-ring footprints with a hole — the ring-summed
+    even-odd path).  ALL THREE paths are oracled — the triangle half
+    reproduces the kernel's even-odd crossing arithmetic in SQL and the
+    donut half its per-ring half-open rectangle semantics, so the driver
+    gate covers the exact-refinement kernel and hole handling, not just
+    the rectangle shortcut."""
     from navgraph_osm_spark.operators.spatial_join import point_in_polygon_join
 
     pts = points_df(spark, sf_dir)
     polys = boxes_as_polygons(spark, sf_dir).unionByName(
         triangles_as_polygons(spark, sf_dir)
-    )
+    ).unionByName(donuts_as_polygons(spark, sf_dir), allowMissingColumns=True)
     return point_in_polygon_join(
         pts, polys, res=8, point_id="point_id", poly_id="box_id", exact=True
     )

@@ -233,3 +233,113 @@ def test_knn_bruteforce_matches_numpy(points):
         d = haversine_np(q["lat"], q["lng"], pdf["lat"].to_numpy(), pdf["lng"].to_numpy())
         order = np.lexsort((pdf["point_id"].to_numpy(), d))[:3]
         assert grp.sort_values("rank")["point_id"].tolist() == pdf["point_id"].to_numpy()[order].tolist()
+
+
+def test_pip_join_multiring_holes(spark, points):
+    """Multi-ring footprints (ring_offsets column): a donut and a two-shell
+    multipolygon, refined by ring-summed even-odd crossings.  Both kernel
+    paths (broadcast map and carry-along columns) must equal the numpy
+    oracle with the SAME ring splitting, and a point inside the hole must
+    never match."""
+    pts_df, pdf = points
+    rows = [
+        {  # donut: outer box with a centered hole
+            "poly_id": 1,
+            "footprint": [
+                {"lat": 48.2, "lng": 1.8}, {"lat": 48.2, "lng": 3.2},
+                {"lat": 49.3, "lng": 3.2}, {"lat": 49.3, "lng": 1.8},
+                {"lat": 48.5, "lng": 2.2}, {"lat": 48.5, "lng": 2.8},
+                {"lat": 49.0, "lng": 2.8}, {"lat": 49.0, "lng": 2.2},
+            ],
+            "ring_offsets": [0, 4],
+        },
+        {  # two disjoint shells in ONE polygon (multipolygon relation)
+            "poly_id": 2,
+            "footprint": [
+                {"lat": 48.1, "lng": 1.6}, {"lat": 48.1, "lng": 2.0},
+                {"lat": 48.4, "lng": 2.0}, {"lat": 48.4, "lng": 1.6},
+                {"lat": 49.1, "lng": 3.0}, {"lat": 49.1, "lng": 3.4},
+                {"lat": 49.4, "lng": 3.4}, {"lat": 49.4, "lng": 3.0},
+            ],
+            "ring_offsets": [0, 4],
+        },
+        {  # plain triangle with a NULL ring_offsets (single ring)
+            "poly_id": 3,
+            "footprint": [
+                {"lat": 48.3, "lng": 2.0}, {"lat": 48.3, "lng": 3.0},
+                {"lat": 49.2, "lng": 2.0},
+            ],
+            "ring_offsets": None,
+        },
+    ]
+    schema = ("poly_id long, footprint array<struct<lat:double,lng:double>>, "
+              "ring_offsets array<int>")
+    poly_df = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+    def _oracle():
+        want = set()
+        for r in rows:
+            fl = np.array([p["lat"] for p in r["footprint"]])
+            fg = np.array([p["lng"] for p in r["footprint"]])
+            ins = points_in_polygon_np(
+                pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), fl, fg,
+                ring_starts=r["ring_offsets"],
+            )
+            want |= {(int(p), r["poly_id"]) for p in pdf["point_id"].to_numpy()[ins]}
+        return want
+
+    want = _oracle()
+    assert want, "fixture must produce hits"
+    for bcast in (True, False):
+        got = {
+            (r["point_id"], r["poly_id"])
+            for r in point_in_polygon_join(
+                pts_df, poly_df, RES, broadcast_polys=bcast
+            ).collect()
+        }
+        assert got == want, f"broadcast_polys={bcast}"
+    # hole exclusion: a point dead-center of poly 1's hole is not a hit
+    probe = spark.createDataFrame(
+        pd.DataFrame({"point_id": [99001, 99002],
+                      "lat": [48.75, 48.25], "lng": [2.5, 2.5]})
+    )
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(probe, poly_df, RES).collect()
+    }
+    assert (99001, 1) not in got       # inside the hole
+    assert (99002, 1) in got           # inside the ring band
+
+
+def test_pip_rect_fast_path_unaffected_by_ring_column(spark, points):
+    """Single-ring rectangles with a ring_offsets column present (null or
+    [0]) still take the codegen rect fast path — no Python stage planned."""
+    pts_df, pdf = points
+    rows = [
+        {"poly_id": 7,
+         "footprint": [
+             {"lat": 48.4, "lng": 2.0}, {"lat": 48.4, "lng": 3.0},
+             {"lat": 49.0, "lng": 3.0}, {"lat": 49.0, "lng": 2.0}],
+         "ring_offsets": [0]},
+        {"poly_id": 8,
+         "footprint": [
+             {"lat": 48.2, "lng": 1.9}, {"lat": 48.2, "lng": 2.4},
+             {"lat": 48.9, "lng": 2.4}, {"lat": 48.9, "lng": 1.9}],
+         "ring_offsets": None},
+    ]
+    schema = ("poly_id long, footprint array<struct<lat:double,lng:double>>, "
+              "ring_offsets array<int>")
+    poly_df = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    out = point_in_polygon_join(pts_df, poly_df, RES)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    # results equal the half-open bbox semantics
+    want = set()
+    for r in rows:
+        la = [p["lat"] for p in r["footprint"]]
+        ln = [p["lng"] for p in r["footprint"]]
+        m = ((pdf["lat"] >= min(la)) & (pdf["lat"] < max(la))
+             & (pdf["lng"] >= min(ln)) & (pdf["lng"] < max(ln)))
+        want |= {(int(p), r["poly_id"]) for p in pdf["point_id"][m]}
+    got = {(r["point_id"], r["poly_id"]) for r in out.collect()}
+    assert got == want
