@@ -132,6 +132,25 @@ class TableWriter:
         w.saveAsTable(tbl)
         return tbl
 
+    def write_partitions(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> str:
+        """Overwrite ONLY the partitions present in ``df`` (dynamic partition
+        overwrite) — the incremental-resume write path: untouched partition
+        directories keep their files byte-for-byte."""
+        target = self.path(name)
+        if self.use_iceberg:
+            df.writeTo(f"local.{name}").overwritePartitions()
+            return f"local.{name}"
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self.spark.catalog.refreshByPath(target)
+        return target
+
     def read_bucketed(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.format("iceberg").load(f"local.{name}")

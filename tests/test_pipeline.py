@@ -59,3 +59,103 @@ def test_pipeline_end_to_end_and_resume(spark, grid, tmp_path):
         json.dump({"rows": -1}, f)
     out3 = run_full_pipeline(spark, wh, grid, res=12, resume=True)
     assert out3["turns"].count() == n_turns
+
+
+def _part_files(table_dir: str, col: str) -> dict[str, set[tuple[str, int]]]:
+    out: dict[str, set] = {}
+    for d in os.listdir(table_dir):
+        full = os.path.join(table_dir, d)
+        if d.startswith(f"{col}=") and os.path.isdir(full):
+            out[d.split("=", 1)[1]] = {
+                (f, os.path.getsize(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_incremental_partition_resume(spark, tmp_path):
+    """Partition-level incremental resume: touching ONE input partition
+    recomputes only that partition's output — untouched output partition
+    directories keep their parquet files byte-for-byte (name+size
+    snapshot), the recomputed partition's files change, lineage row counts
+    merge correctly, and a deep-verify resume then skips cleanly."""
+    import pandas as pd
+
+    from navgraph_osm_spark.plans.checkpoint import StageRunner
+
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame(
+        {"pcol": [0] * 4 + [1] * 5 + [2] * 6, "x": list(range(15))}
+    )
+    spark.createDataFrame(pdf).write.partitionBy("pcol").parquet(src)
+    wh = str(tmp_path / "wh")
+
+    def make_runner():
+        runner = StageRunner(spark, wh)
+
+        def st_doubled(deps, partition_values=None):
+            df = spark.read.parquet(src)
+            if partition_values is not None:
+                df = df.filter(
+                    F.col("pcol").cast("string").isin(list(partition_values))
+                )
+            return df.select("pcol", (F.col("x") * 2).alias("y"))
+
+        runner.stage(
+            "doubled", st_doubled, partition_by=["pcol"],
+            incremental_path=src, incremental_col="pcol",
+        )
+        return runner
+
+    r1 = make_runner()
+    out1 = r1.run()["doubled"]
+    assert out1.count() == 15
+    assert r1.last_run_report["stages_run"] == ["doubled"]
+    table_dir = os.path.join(wh, "doubled")
+    before = _part_files(table_dir, "pcol")
+
+    # clean resume: nothing recomputed, files untouched
+    r2 = make_runner()
+    r2.run()
+    assert r2.last_run_report["stages_run"] == []
+    assert _part_files(table_dir, "pcol") == before
+
+    # rewrite ONE input partition (pcol=1 gets an extra row)
+    spark.createDataFrame(
+        pd.DataFrame({"x": [100, 101, 102, 103, 104, 105]})
+    ).write.mode("overwrite").parquet(os.path.join(src, "pcol=1"))
+
+    r3 = make_runner()
+    out3 = r3.run()["doubled"]
+    assert r3.last_run_report["stages_run"] == ["doubled[1 partitions]"]
+    after = _part_files(table_dir, "pcol")
+    assert after["0"] == before["0"], "untouched partition 0 must keep its files"
+    assert after["2"] == before["2"], "untouched partition 2 must keep its files"
+    assert after["1"] != before["1"], "changed partition must be rewritten"
+    # values: partition 1 now the doubled new rows; 0/2 unchanged
+    got = sorted(
+        (r["pcol"], r["y"]) for r in out3.filter("pcol = 1").collect()
+    )
+    assert got == [(1, v * 2) for v in (100, 101, 102, 103, 104, 105)]
+    assert out3.count() == 4 + 6 + 6
+    lineage = json.load(open(os.path.join(wh, "doubled._lineage.json")))
+    assert lineage["rows"] == 16
+    assert lineage["incremental"] == {"recomputed": ["1"]}
+    assert {p["pcol"]: p["rows"] for p in lineage["partitions"]} == {
+        "0": 4, "1": 6, "2": 6,
+    }
+
+    # deep-verify resume validates the merged lineage with a full count
+    r4 = make_runner()
+    r4.run(verify=True)
+    assert r4.last_run_report["stages_run"] == []
+
+    # removing an input partition falls back to a FULL recompute
+    import shutil
+
+    shutil.rmtree(os.path.join(src, "pcol=2"))
+    r5 = make_runner()
+    out5 = r5.run()["doubled"]
+    assert r5.last_run_report["stages_run"] == ["doubled"]
+    assert out5.count() == 10
