@@ -209,6 +209,106 @@ def run_ingest(cpus: int) -> dict:
     }
 
 
+def run_turns_bench(sf_dir: str, cpus: int, n_buckets: int = 64) -> dict:
+    """A/B the turn-expansion join strategies at bench scale (round-4 item):
+
+    - ``default``: expand_turns — one SortMergeJoin shuffle per run;
+    - ``cobucketed``: expand_turns_cobucketed — both sides written bucketed
+      + bucket-sorted on (via_cell, via_node) ONCE, every subsequent run
+      joins exchange-free.
+
+    Reports per-run join time for both, the one-off bucketed write cost,
+    and the break-even read count (bucket_write_extra / per_read_saving) —
+    the number the 100 TB deployment decision actually needs.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import navgraph_osm_spark.queries as Q
+    from navgraph_osm_spark.operators import graph_build, turn_expand
+    from navgraph_osm_spark.sources.tables import TableWriter
+
+    spark = _spark(cpus)
+    _warmup(spark, cpus)
+    # the gb_turns workload exactly (queries.gb_turns): 10% way sample
+    t = Q.graph_tables(spark, sf_dir)
+    wn = t["way_nodes"].filter(F.col("way_id") % 10 == 0)
+    ways = t["ways"].filter(F.col("id") % 10 == 0)
+    edges = graph_build.build_edges(t["nodes"], ways, wn, res=6).select(
+        "edge_id", "way_id", "cost", "src_node", "tgt_node",
+        "src_cell", "tgt_cell", "src_lat", "src_lng", "tgt_lat", "tgt_lng",
+    ).localCheckpoint(eager=True)
+    restrictions = Q._derived_restrictions(edges)
+
+    runs = 3
+    default_s = []
+    rows = None
+    for _ in range(runs):
+        t0 = time.time()
+        rows = turn_expand.expand_turns(edges, restrictions).count()
+        default_s.append(round(time.time() - t0, 3))
+
+    wh = tempfile.mkdtemp(prefix="navgraph_turns_bench_")
+    writer = TableWriter(spark, wh)
+    keys = ["via_cell", "via_node"]
+    a, b = turn_expand.turn_sides(edges)
+    # disk-resident baseline: at 100 TB neither side lives in memory, so
+    # the fair shuffled-join comparand reads BOTH sides from plain parquet
+    t0 = time.time()
+    writer.write(a, "turn_side_a_plain")
+    writer.write(b, "turn_side_b_plain")
+    plain_write_s = round(time.time() - t0, 3)
+    plain_join_s = []
+    rows_pl = None
+    for _ in range(runs):
+        t0 = time.time()
+        rows_pl = turn_expand._expand_from_sides(
+            writer.read("turn_side_a_plain"),
+            writer.read("turn_side_b_plain"),
+            restrictions,
+            strict_only=False,
+        ).count()
+        plain_join_s.append(round(time.time() - t0, 3))
+    t0 = time.time()
+    writer.write_bucketed(a, "turn_side_a", keys, n_buckets, sort_cols=keys)
+    writer.write_bucketed(b, "turn_side_b", keys, n_buckets, sort_cols=keys)
+    write_s = round(time.time() - t0, 3)
+    cobucketed_s = []
+    rows_cb = None
+    for _ in range(runs):
+        t0 = time.time()
+        rows_cb = turn_expand._expand_from_sides(
+            writer.read_bucketed("turn_side_a"),
+            writer.read_bucketed("turn_side_b"),
+            restrictions,
+            strict_only=False,
+        ).count()
+        cobucketed_s.append(round(time.time() - t0, 3))
+    spark.stop()
+    shutil.rmtree(wh, ignore_errors=True)
+    p_min, c_min = min(plain_join_s), min(cobucketed_s)
+    saving = p_min - c_min
+    extra = max(write_s - plain_write_s, 0.0)
+    return {
+        "metric": "turn_join_bucketing",
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_buckets": n_buckets,
+        "rows": {"default": rows, "plain": rows_pl, "cobucketed": rows_cb},
+        "inmem_default_join_s": default_s,
+        "plain_read_join_s": plain_join_s,
+        "cobucketed_join_s": cobucketed_s,
+        "bucketed_write_s": write_s,
+        "plain_write_s": plain_write_s,
+        "per_read_saving_s": round(saving, 3),
+        "break_even_reads": (
+            round(extra / saving, 1) if saving > 0 else None
+        ),
+    }
+
+
 def _warmup(spark, cpus: int) -> None:
     """Pay JVM codegen-compile + python worker fork/numpy-import once, before
     any timed query — the steady-state cost is the query, not startup."""
@@ -408,6 +508,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--ingest", action="store_true")
+    ap.add_argument("--turns", action="store_true")
     ap.add_argument("--job-once", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=2)
@@ -420,6 +521,8 @@ def main() -> None:
         print(json.dumps(run_job_once(args.cpus, args.images)))
     elif args.ingest:
         print(json.dumps(run_ingest(args.cpus)))
+    elif args.turns:
+        print(json.dumps(run_turns_bench(args.sf_dir, args.cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling(args.small, args.large, args.images)))
     else:
