@@ -204,3 +204,93 @@ def test_strict_only_uturn_selection_no_fallback(spark):
     }
     assert default_pairs == {(10, 25)}
     assert strict_pairs == set()
+
+
+def test_strict_interactions_single_via_node(spark):
+    """The STRICT_TURNS.md fixture pack: every only_*/no_*/U-turn
+    interaction class planted on ONE shared via node, evaluated in one
+    expand_turns call — proves rule scoping by (from_way, via_node) never
+    leaks across source edges and each case matches the reference's
+    applyRestrictions early-return flow (invert.hpp:27-113).  See
+    STRICT_TURNS.md for the case-by-case reference mapping."""
+    edge_cols = (
+        "edge_id long, way_id long, cost double, src_node long, tgt_node long, "
+        "src_cell long, tgt_cell long, src_lat double, src_lng double, "
+        "tgt_lat double, tgt_lng double"
+    )
+    V = 500  # via node at (0,0), cell 7
+    edges = spark.createDataFrame(
+        [
+            # source edges S1..S8 (ways 1..8), each ending at V
+            (101, 1, 1.0, 511, V, 7, 7, 1.0, 0.0, 0.0, 0.0),
+            (102, 2, 1.0, 512, V, 7, 7, 2.0, 0.0, 0.0, 0.0),
+            (103, 3, 1.0, 513, V, 7, 7, 3.0, 0.0, 0.0, 0.0),
+            (104, 4, 1.0, 514, V, 7, 7, 4.0, 0.0, 0.0, 0.0),
+            (105, 5, 1.0, 515, V, 7, 7, 5.0, 0.0, 0.0, 0.0),
+            (106, 6, 1.0, 516, V, 7, 7, 6.0, 0.0, 0.0, 0.0),
+            (107, 7, 1.0, 517, V, 7, 7, 8.0, 0.0, 0.0, 0.0),
+            (108, 8, 1.0, 518, V, 7, 7, 0.0, 9.0, 0.0, 0.0),
+            # outgoing edges at V
+            (201, 20, 2.0, V, 521, 7, 7, 0.0, 0.0, 0.0, 1.0),
+            (202, 20, 2.0, V, 522, 7, 7, 0.0, 0.0, 0.0, -1.0),
+            (301, 30, 2.0, V, 523, 7, 7, 0.0, 0.0, 1.0, 1.0),
+            (401, 40, 2.0, V, 524, 7, 7, 0.0, 0.0, 1.0, -1.0),
+            # way 60's sole outgoing edge: exact reversal of S6
+            (601, 60, 2.0, V, 516, 7, 7, 0.0, 0.0, 6.0, 0.0),
+            # way 80: reverses S8 via a DIFFERENT node id, SAME coordinates
+            (801, 80, 2.0, V, 529, 7, 7, 0.0, 0.0, 0.0, 9.0),
+            # way 99 exists (survives J7) but only at a DIFFERENT node
+            (901, 99, 2.0, 531, 532, 8, 8, 7.0, 7.0, 7.0, 8.0),
+        ],
+        edge_cols,
+    )
+    rest_rows = [
+        (1, 1, V, 20, 3),    # S1: only → 20
+        (2, 2, V, 20, 4),    # S2: only → 20 ...
+        (3, 2, 20, 0),       # ... AND no_*(2, 20)  (from,to,type) below
+        (4, 3, V, 20, 3),    # S3: conflicting onlys
+        (5, 3, V, 30, 3),
+        (6, 4, V, 30, 4),    # S4: duplicate onlys (allEq)
+        (7, 4, V, 30, 5),
+        (8, 5, V, 99, 3),    # S5: only → way with no outgoing at V
+        (9, 6, V, 60, 3),    # S6: only → the U-turn way
+        (10, 7, 30, 1),      # S7: no_*(7, 30)  (from,to,type) below
+        (11, 7, V, 40, -1),  # S7: INVALID type → must be ignored (F4)
+    ]
+    # normalize: no_* rows above written as (id, from, to, type)
+    norm = []
+    for r in rest_rows:
+        if len(r) == 4:
+            rid, fw, tw, ty = r
+            norm.append((rid, fw, V, tw, ty))
+        else:
+            norm.append(r)
+    restrictions = spark.createDataFrame(
+        norm, "id long, from_way long, via_node long, to_way long, type int"
+    )
+
+    def pairs(strict):
+        return {
+            (r["src_edge_id"], r["tgt_edge_id"])
+            for r in expand_turns(edges, restrictions, strict_only=strict).collect()
+        }
+
+    strict = pairs(True)
+    default = pairs(False)
+
+    want_strict = {
+        (101, 201),                                    # S1: first match only
+        (104, 301),                                    # S4: duplicates collapse
+        (107, 201), (107, 202), (107, 401), (107, 601), (107, 801),  # S7
+        (108, 201), (108, 202), (108, 301), (108, 401), (108, 601),  # S8
+    }
+    assert strict == want_strict
+    # default differs ONLY for S1 (set semantics on the mandated way)
+    assert default == want_strict | {(101, 202)}
+    # leak checks called out explicitly:
+    assert not any(s == 102 for s, _ in strict)   # S2: no fallback after no_*
+    assert not any(s == 103 for s, _ in strict)   # S3: conflict kills all
+    assert not any(s == 105 for s, _ in strict)   # S5: find_if miss
+    assert not any(s == 106 for s, _ in strict)   # S6: U-turn selection
+    assert (107, 401) in strict                   # type -1 row ignored (F4)
+    assert (108, 801) not in strict               # coordinate-based U-turn
