@@ -116,32 +116,55 @@ def tile_assignment(images: DataFrame, res: int) -> DataFrame:
 _REFINE_HELP_COLS = ("__plat", "__plng", "__fp_lat", "__fp_lng")
 
 
+def _poly_groups(pid: np.ndarray):
+    """(stable argsort order, group start offsets) for grouping a batch's
+    candidate rows by polygon id with pure numpy — replaces pandas
+    ``groupby(...).groups`` + ``index.get_indexer``, whose per-group
+    overhead dominated the one remaining Python hot path."""
+    order = np.argsort(pid, kind="stable")
+    sorted_pid = pid[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], sorted_pid[1:] != sorted_pid[:-1]))
+    )
+    return order, starts
+
+
 def _refine_kernel(id_cols: list[str], has_rings: bool = False):
     """Kernel factory: exact point-in-polygon refinement over candidate pairs.
 
     Vectorizes over all points sharing a polygon (grouped by the polygon id,
-    ``id_cols[1]``) within the Arrow batch; yields only the id columns of
-    surviving pairs.  ``has_rings`` reads the carried ``__fp_rings`` ring
-    offsets (holes / multipolygon shells — crossings summed across rings).
+    ``id_cols[1]``, via one stable argsort) within the Arrow batch; yields
+    only the id columns of surviving pairs.  ``has_rings`` reads the carried
+    ``__fp_rings`` ring offsets (holes / multipolygon shells — crossings
+    summed across rings).
     """
     pid_col = id_cols[1]
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 yield pdf[id_cols]
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for _, idx in pdf.groupby(pid_col, sort=False).groups.items():
-                rows = pdf.loc[idx]
-                fp_lat = np.asarray(rows["__fp_lat"].iloc[0], dtype=np.float64)
-                fp_lng = np.asarray(rows["__fp_lng"].iloc[0], dtype=np.float64)
-                starts = rows["__fp_rings"].iloc[0] if has_rings else None
-                keep[pdf.index.get_indexer(idx)] = points_in_polygon_np(
-                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(),
-                    fp_lat, fp_lng, ring_starts=starts,
+            pid = pdf[pid_col].to_numpy()
+            plat = pdf["__plat"].to_numpy()
+            plng = pdf["__plng"].to_numpy()
+            fp_lat_col = pdf["__fp_lat"].to_numpy()
+            fp_lng_col = pdf["__fp_lng"].to_numpy()
+            rings_col = pdf["__fp_rings"].to_numpy() if has_rings else None
+            order, starts = _poly_groups(pid)
+            keep = np.zeros(n, dtype=bool)
+            bounds = np.append(starts, n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                idx = order[s:e]
+                first = idx[0]
+                keep[idx] = points_in_polygon_np(
+                    plat[idx], plng[idx],
+                    np.asarray(fp_lat_col[first], dtype=np.float64),
+                    np.asarray(fp_lng_col[first], dtype=np.float64),
+                    ring_starts=rings_col[first] if has_rings else None,
                 )
-            yield pdf.loc[keep, id_cols]
+            yield pdf[keep][id_cols]
 
     return _kernel
 
@@ -156,18 +179,24 @@ def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
         polys = poly_bc.value
         pid_col = id_cols[1]
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 yield pdf[id_cols]
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for pid, idx in pdf.groupby(pid_col, sort=False).groups.items():
-                fp_lat, fp_lng, starts = polys[pid]
-                rows = pdf.loc[idx]
-                keep[pdf.index.get_indexer(idx)] = points_in_polygon_np(
-                    rows["__plat"].to_numpy(), rows["__plng"].to_numpy(),
-                    fp_lat, fp_lng, ring_starts=starts,
+            pid = pdf[pid_col].to_numpy()
+            plat = pdf["__plat"].to_numpy()
+            plng = pdf["__plng"].to_numpy()
+            order, starts = _poly_groups(pid)
+            keep = np.zeros(n, dtype=bool)
+            bounds = np.append(starts, n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                idx = order[s:e]
+                fp_lat, fp_lng, ring_starts = polys[pid[idx[0]]]
+                keep[idx] = points_in_polygon_np(
+                    plat[idx], plng[idx], fp_lat, fp_lng,
+                    ring_starts=ring_starts,
                 )
-            yield pdf.loc[keep, id_cols]
+            yield pdf[keep][id_cols]
 
     return _kernel
 

@@ -1401,6 +1401,12 @@ def load_osm_tables(
     entities = tuple(_ENTITY_SCHEMAS)
     if not single_pass:
         return {e: scan_pbf(spark, path, e, partitions) for e in entities}
+    if _manifest_df(spark, path, partitions) is None:
+        # header-only file: nothing to stage (and an empty parquet dir
+        # cannot be read back) — empty typed frames directly
+        return {
+            e: spark.createDataFrame([], _ENTITY_SCHEMAS[e]) for e in entities
+        }
     fp = pbf_file_fingerprint(path)
     root = stage_dir or os.path.join(
         tempfile.gettempdir(), "navgraph_pbf_stage"

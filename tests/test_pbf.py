@@ -360,3 +360,30 @@ def test_flat_parser_matches_reference_parser(tmp_path):
                 assert (g[0], g[1], list(g[2]), g[3].tolist(), g[4].tolist()) == (
                     r[0], r[1], list(r[2]), r[3].tolist(), r[4].tolist()
                 )
+
+
+def test_stage_reads_partition_and_column_pruned(spark, tiny_pbf, tmp_path):
+    """The single-pass stage must behave like a real table at read time:
+    per-entity views hit the parquet scan with a PARTITION filter on
+    `entity` (only that entity's directory is read) and a pruned
+    ReadSchema (the nodes view never reads the tags column)."""
+    t = pbf.load_osm_tables(spark, tiny_pbf, stage_dir=str(tmp_path / "st"))
+    plan = t["nodes"]._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "nodes" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "tags" not in read_schema
+    assert "lat" in read_schema and "lng" in read_schema
+
+
+def test_load_osm_tables_header_only_file(spark, tmp_path):
+    """A PBF with only an OSMHeader (no data blobs) loads as empty typed
+    frames — no stage write, no schema-inference failure."""
+    path = str(tmp_path / "empty.osm.pbf")
+    pbf.write_osm_pbf(path)  # header only
+    t = pbf.load_osm_tables(spark, path, stage_dir=str(tmp_path / "st"))
+    assert set(t) == {"nodes", "node_tags", "ways", "way_nodes",
+                      "relation_members", "relation_tags"}
+    for e, df in t.items():
+        assert df.count() == 0, e
+    assert not os.path.exists(os.path.join(tmp_path, "st"))
