@@ -168,14 +168,20 @@ def iter_video_frames(data: bytes) -> Iterator[np.ndarray]:
 
 
 def _video_frame(vid: int, idx: int, w: int, h: int, seed: int) -> np.ndarray:
-    """Deterministic moving-gradient frame."""
+    """Deterministic moving-gradient frame (separable R/G — 1-D trig
+    broadcast, bit-identical to the former full-grid evaluation)."""
     h_ = splitmix64(np.asarray([vid * 131071 + seed], dtype=np.uint64))[0]
     phase = float(h_ % np.uint64(997)) / 997.0 + idx * 0.07
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    r = (np.sin(xx / w * 6.28 + phase * 6.28) * 0.5 + 0.5) * 255
-    g = (np.cos(yy / h * 6.28 + phase * 3.14) * 0.5 + 0.5) * 255
-    b = ((xx + yy) / (w + h) * 255 + phase * 64) % 256
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
+    r = ((np.sin(x / w * 6.28 + phase * 6.28) * 0.5 + 0.5) * 255).astype(np.uint8)
+    g = ((np.cos(y / h * 6.28 + phase * 3.14) * 0.5 + 0.5) * 255).astype(np.uint8)
+    b = (((x[None, :] + y[:, None]) / (w + h) * 255 + phase * 64) % 256).astype(np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = r[None, :]
+    out[:, :, 1] = g[:, None]
+    out[:, :, 2] = b
+    return out
 
 
 def gen_video(

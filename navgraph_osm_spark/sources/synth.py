@@ -239,13 +239,23 @@ def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
 
 
 def _pixels_for(img_id: int, w: int, h: int, seed: int) -> np.ndarray:
-    """Deterministic RGB content: smooth gradient + hash-salted phase."""
+    """Deterministic RGB content: smooth gradient + hash-salted phase.
+
+    The R/G channels are separable (R depends only on the column index, G
+    only on the row index), so the trig runs on 1-D vectors and broadcasts
+    — bit-identical to the former full-grid evaluation (same float64
+    operands element-for-element), ~3× less work per image."""
     phase = float(splitmix64(np.asarray([img_id ^ seed], dtype=np.uint64))[0] % np.uint64(997)) / 997.0
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    r = (np.sin(xx / w * 6.28 + phase * 6.28) * 0.5 + 0.5) * 255
-    g = (np.cos(yy / h * 6.28 + phase * 3.14) * 0.5 + 0.5) * 255
-    b = ((xx + yy) / (w + h) * 255 + phase * 64) % 256
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
+    r = ((np.sin(x / w * 6.28 + phase * 6.28) * 0.5 + 0.5) * 255).astype(np.uint8)
+    g = ((np.cos(y / h * 6.28 + phase * 3.14) * 0.5 + 0.5) * 255).astype(np.uint8)
+    b = (((x[None, :] + y[:, None]) / (w + h) * 255 + phase * 64) % 256).astype(np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = r[None, :]
+    out[:, :, 1] = g[:, None]
+    out[:, :, 2] = b
+    return out
 
 
 def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
