@@ -115,3 +115,86 @@ def test_way_with_info_field_and_unpacked_refs():
     wid, tags, refs = blk["ways"][0]
     assert wid == 100 and tags == {}
     assert refs.tolist() == [10, 11]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(  # nodes: (id, lat raw 1e-7 deg, lng raw, has_tags)
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=-800_000_000, max_value=800_000_000),
+            st.integers(min_value=-1_700_000_000, max_value=1_700_000_000),
+            st.booleans(),
+        ),
+        min_size=0, max_size=30, unique_by=lambda r: r[0],
+    ),
+    st.lists(  # ways: (id, n_tags 0-3, n_refs 0-6)
+        st.tuples(
+            st.integers(min_value=1, max_value=2**30),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=0, max_size=12, unique_by=lambda r: r[0],
+    ),
+    st.lists(  # relations: (id, n_members 0-4)
+        st.tuples(
+            st.integers(min_value=1, max_value=2**30),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=0, max_size=6, unique_by=lambda r: r[0],
+    ),
+)
+def test_flat_parser_equals_reference_parser_property(
+    tmp_path_factory, nodes, ways, rels
+):
+    """For ARBITRARY entity mixes (tagged/untagged nodes, empty-ref ways,
+    empty-member relations, any block splits) the vectorized flat parser
+    reproduces the reference per-message walk exactly."""
+    node_ids = np.array(sorted(r[0] for r in nodes), dtype=np.int64)
+    by_id = {r[0]: r for r in nodes}
+    lats = np.array([by_id[i][1] for i in node_ids], dtype=np.float64) * 1e-7
+    lngs = np.array([by_id[i][2] for i in node_ids], dtype=np.float64) * 1e-7
+    ntags = [
+        {"k": f"v{i}", "n": "x"} if by_id[i][3] else None for i in node_ids
+    ]
+    ref_pool = node_ids if node_ids.size else np.array([1], dtype=np.int64)
+    w_list = [
+        (wid, {f"t{j}": str(j) for j in range(ntg)},
+         np.sort(ref_pool[np.arange(nrf) % ref_pool.size]))
+        for wid, ntg, nrf in ways
+    ]
+    r_list = [
+        (rid, {"type": "restriction"} if nm else {},
+         [("way", int(j + 1), "via" if j % 2 else "from") for j in range(nm)])
+        for rid, nm in rels
+    ]
+    path = str(tmp_path_factory.mktemp("prop") / "mix.osm.pbf")
+    pbf.write_osm_pbf(
+        path,
+        nodes=(node_ids, lats, lngs, ntags) if node_ids.size else None,
+        ways=w_list or None,
+        relations=r_list or None,
+        block_size=5,
+    )
+    with open(path, "rb") as f:
+        for off, ln, typ in pbf.pbf_manifest(path):
+            if typ != "OSMData":
+                continue
+            f.seek(off)
+            data = pbf._decompress_blob(f.read(ln))
+            ref = pbf.parse_primitive_block_ref(data)
+            got = pbf._legacy_from_flat(pbf.parse_primitive_block_flat(data))
+            assert got["nodes"][0].tolist() == ref["nodes"][0].tolist()
+            assert got["nodes"][1].tolist() == ref["nodes"][1].tolist()
+            assert got["nodes"][2].tolist() == ref["nodes"][2].tolist()
+            assert got["nodes"][3] == ref["nodes"][3]
+            assert [(w[0], w[1], w[2].tolist()) for w in got["ways"]] == [
+                (w[0], w[1], w[2].tolist()) for w in ref["ways"]
+            ]
+            assert [
+                (r[0], r[1], list(r[2]), r[3].tolist(), r[4].tolist())
+                for r in got["relations"]
+            ] == [
+                (r[0], r[1], list(r[2]), r[3].tolist(), r[4].tolist())
+                for r in ref["relations"]
+            ]
