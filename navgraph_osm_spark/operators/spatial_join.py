@@ -406,8 +406,11 @@ def point_in_polygon_join(
     # refinement is row-independent, so rebalance before the python stage.
     # Partitioning by (poly_id, salt) keeps each Arrow batch dense in few
     # polygons (the kernel vectorizes per polygon), salt caps per-poly skew.
+    # No explicit partition count: AQE coalesces the shuffle output to its
+    # target size, so a small survivor set doesn't fan out into dozens of
+    # near-empty Python tasks (measured ~1s at sf0.1) while a 100 TB
+    # survivor set still spreads across spark.sql.shuffle.partitions.
     rest = rest.repartition(
-        sc.defaultParallelism * 2,
         F.col(poly_id),
         F.pmod(F.xxhash64(point_id), F.lit(16)),
     )
