@@ -122,11 +122,12 @@ def _calibrate(spark) -> float:
     return round(min(times), 3)
 
 
-def run_ingest(cpus: int) -> dict:
+def run_ingest(cpus: int, scale: int = 1) -> dict:
     """PBF ingestion A/B (round-4 single-pass work): reference-style
     per-message parse vs vectorized flat parse on the same blobs, and
     5-scan multi-pass load vs single-pass staged load of all five entity
-    tables from one multi-entity file."""
+    tables from one multi-entity file.  ``scale`` multiplies the fixture
+    (scale=1 → ~31 blobs; use ≥4 to fill 32 cores)."""
     import shutil
     import tempfile
 
@@ -135,7 +136,7 @@ def run_ingest(cpus: int) -> dict:
     from navgraph_osm_spark.sources import pbf
 
     rng = np.random.default_rng(3)
-    n_nodes, n_ways, n_rels = 200_000, 40_000, 2_000
+    n_nodes, n_ways, n_rels = 200_000 * scale, 40_000 * scale, 2_000 * scale
     ids = np.arange(1, n_nodes + 1, dtype=np.int64)
     lats = rng.integers(-80_000_000, 80_000_000, n_nodes) / 1e7
     lngs = rng.integers(-179_000_000, 179_000_000, n_nodes) / 1e7
@@ -509,6 +510,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--ingest", action="store_true")
     ap.add_argument("--turns", action="store_true")
+    ap.add_argument("--ingest-scale", type=int, default=1)
     ap.add_argument("--job-once", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=2)
@@ -520,7 +522,7 @@ def main() -> None:
     if args.job_once:
         print(json.dumps(run_job_once(args.cpus, args.images)))
     elif args.ingest:
-        print(json.dumps(run_ingest(args.cpus)))
+        print(json.dumps(run_ingest(args.cpus, scale=args.ingest_scale)))
     elif args.turns:
         print(json.dumps(run_turns_bench(args.sf_dir, args.cpus)))
     elif args.scaling:
