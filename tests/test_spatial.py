@@ -343,3 +343,49 @@ def test_pip_rect_fast_path_unaffected_by_ring_column(spark, points):
         want |= {(int(p), r["poly_id"]) for p in pdf["point_id"][m]}
     got = {(r["point_id"], r["poly_id"]) for r in out.collect()}
     assert got == want
+
+
+def _pnpoly(px, py, xs, ys):
+    """Independent textbook even-odd crossing test (W. R. Franklin's
+    PNPOLY construction — public-domain algorithm), used ONLY as an
+    oracle: different edge iteration and intercept algebra than the
+    engine kernel."""
+    inside = False
+    j = len(xs) - 1
+    for i in range(len(xs)):
+        if (ys[i] > py) != (ys[j] > py) and px < (xs[j] - xs[i]) * (
+            py - ys[i]
+        ) / (ys[j] - ys[i]) + xs[i]:
+            inside = not inside
+        j = i
+    return inside
+
+
+def test_multiring_kernel_vs_independent_pnpoly_oracle():
+    """Random multi-ring polygons (1-3 rings, 3-9 vertices each) vs the
+    independent PNPOLY oracle XOR'd across rings — random points never sit
+    on edges, so the two constructions must agree everywhere."""
+    rng = np.random.default_rng(77)
+    for _ in range(120):
+        n_rings = int(rng.integers(1, 4))
+        ring_lat, ring_lng, starts = [], [], []
+        for _r in range(n_rings):
+            starts.append(len(ring_lat))
+            nv = int(rng.integers(3, 10))
+            clat, clng = rng.uniform(-60, 60), rng.uniform(-120, 120)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(0.5, 4.0)
+            ring_lat += list(clat + rad * np.sin(ang))
+            ring_lng += list(clng + rad * np.cos(ang))
+        fl = np.array(ring_lat)
+        fg = np.array(ring_lng)
+        plat = rng.uniform(-65, 65, 60)
+        plng = rng.uniform(-125, 125, 60)
+        got = points_in_polygon_np(plat, plng, fl, fg, ring_starts=starts)
+        bounds = starts + [len(fl)]
+        want = np.zeros(60, dtype=bool)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            want ^= np.array(
+                [_pnpoly(x, y, fg[a:b], fl[a:b]) for y, x in zip(plat, plng)]
+            )
+        assert (got == want).all()
