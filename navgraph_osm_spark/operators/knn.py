@@ -193,3 +193,77 @@ def knn_join_bruteforce(
         .filter(F.col("rank") <= k)
         .select(query_id, point_id, "dist_km", "rank")
     )
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    res: int,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    max_abs_lat: float | None = None,
+) -> DataFrame:
+    """Within-distance (range) join: every (left, right) pair with
+    haversine distance ≤ ``radius_km`` — the third classic spatial join
+    next to kNN (nearest) and point-in-polygon (containment).
+
+    Plan shape (all JVM-side): the left side gets ONE cell per row, the
+    right side explodes over its Chebyshev ``grid_disk`` of ring size
+    guaranteed to cover ``radius_km``; candidates come from a plain equi
+    join on ``cell``; the haversine filter is codegen.  Pairs are unique
+    by construction (a left row is in exactly one cell; a right row's disk
+    contains each cell at most once) — no dedup shuffle.
+
+    Coverage guarantee: ring = :func:`min_ring_for_radius` at the most
+    POLEWARD latitude either side reaches, +1 for the cell-boundary
+    straddle (two points < one cell extent apart can still sit in adjacent
+    cells).  ``max_abs_lat=None`` computes that latitude with one tiny agg
+    job; pass it explicitly to keep the plan fully lazy.  The ring is
+    capped at 2^res (full longitude wrap — polar data at coarse radius
+    degenerates to a full scan, inherent to any lat/lng grid method; use a
+    finer ``res`` or an equal-area index there).
+
+    Scale note: explode factor is (2·ring+1)² on the RIGHT side only —
+    put the smaller relation on the right.  Skewed dense cells are handled
+    by AQE skew-join; at extreme skew pre-split with
+    operators.skew.adaptive_cell_split.
+    """
+    if max_abs_lat is None:
+        row = (
+            left.select(F.abs(F.col("lat")).alias("a"))
+            .unionAll(right.select(F.abs(F.col("lat")).alias("a")))
+            .agg(F.max("a"))
+            .first()
+        )
+        max_abs_lat = float(row[0] or 0.0)
+    ring = min(min_ring_for_radius(radius_km, res, max_abs_lat) + 1, 1 << res)
+    lx, ly = xy_expr(F.col("lat"), F.col("lng"), res)
+    lhs = left.select(
+        F.col(left_id),
+        F.col("lat").alias("l_lat"),
+        F.col("lng").alias("l_lng"),
+        cell_from_xy_expr(lx, ly, res).alias("cell"),
+    )
+    rx, ry = xy_expr(F.col("lat"), F.col("lng"), res)
+    rhs = (
+        right.select(
+            F.col(right_id),
+            F.col("lat").alias("r_lat"),
+            F.col("lng").alias("r_lng"),
+            F.explode(grid_disk_expr(rx, ry, res, ring)).alias("nb"),
+        )
+        .withColumn("cell", cell_from_xy_expr(F.col("nb.x"), F.col("nb.y"), res))
+        .drop("nb")
+    )
+    return (
+        lhs.join(rhs, "cell")
+        .withColumn(
+            "dist_km",
+            haversine_expr(
+                F.col("l_lat"), F.col("l_lng"), F.col("r_lat"), F.col("r_lng")
+            ),
+        )
+        .filter(F.col("dist_km") <= F.lit(float(radius_km)))
+        .select(left_id, right_id, "dist_km")
+    )

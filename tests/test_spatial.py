@@ -389,3 +389,37 @@ def test_multiring_kernel_vs_independent_pnpoly_oracle():
                 [_pnpoly(x, y, fg[a:b], fl[a:b]) for y, x in zip(plat, plng)]
             )
         assert (got == want).all()
+
+
+def test_distance_join_matches_bruteforce(spark):
+    """Range join vs an exhaustive numpy oracle — mid-latitudes AND a
+    poleward cluster (69-72°N, where lng cells narrow and the ring sizing
+    must widen), two radii, including cross-cell-boundary pairs."""
+    from navgraph_osm_spark.operators.knn import distance_join
+
+    rng = np.random.default_rng(9)
+    la = np.concatenate([rng.uniform(48, 50, 150), rng.uniform(69, 72, 50)])
+    ln = np.concatenate([rng.uniform(1, 4, 150), rng.uniform(10, 20, 50)])
+    lb = np.concatenate([rng.uniform(48, 50, 120), rng.uniform(69, 72, 40)])
+    gb = np.concatenate([rng.uniform(1, 4, 120), rng.uniform(10, 20, 40)])
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": np.arange(200, dtype=np.int64), "lat": la, "lng": ln})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"right_id": np.arange(160, dtype=np.int64), "lat": lb, "lng": gb})
+    )
+    d = haversine_np(la[:, None], ln[:, None], lb[None, :], gb[None, :])
+    for radius in (5.0, 40.0):
+        want = {
+            (int(i), int(j))
+            for i, j in zip(*np.nonzero(d <= radius))
+        }
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in distance_join(left, right, radius, res=10).collect()
+        }
+        assert got == want, radius
+        # distances agree with the oracle to float tolerance
+        one = distance_join(left, right, radius, res=10).collect()
+        for r in one[:20]:
+            assert abs(r["dist_km"] - d[r["left_id"], r["right_id"]]) < 1e-9
