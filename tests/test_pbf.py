@@ -387,3 +387,28 @@ def test_load_osm_tables_header_only_file(spark, tmp_path):
     for e, df in t.items():
         assert df.count() == 0, e
     assert not os.path.exists(os.path.join(tmp_path, "st"))
+
+
+def test_empty_string_tag_value_uses_scalar_kv_fallback(tmp_path):
+    """An EMPTY-STRING tag value encodes as string-table index 0 — the
+    keys_vals terminator value in value position.  The vectorized splitter
+    must detect the ambiguity (zero count / parity invariants fail) and
+    fall back to the scalar walk, decoding the tag correctly instead of
+    silently mis-splitting nodes."""
+    path = str(tmp_path / "e.osm.pbf")
+    ids = np.array([1, 2], dtype=np.int64)
+    lats = np.array([0.0001, 0.0002])
+    lngs = np.array([0.0001, 0.0002])
+    ntags = [{"name": "", "k": "v"}, None]  # empty VALUE for node 1
+    pbf.write_osm_pbf(path, nodes=(ids, lats, lngs, ntags))
+    with open(path, "rb") as f:
+        for off, ln, typ in pbf.pbf_manifest(path):
+            if typ != "OSMData":
+                continue
+            f.seek(off)
+            data = pbf._decompress_blob(f.read(ln))
+            ref = pbf.parse_primitive_block_ref(data)
+            got = pbf.parse_primitive_block(data)
+            assert got["nodes"][3] == ref["nodes"][3] == [
+                {"name": "", "k": "v"}, None
+            ]
