@@ -1124,8 +1124,11 @@ def _pbf_fixture(spark, sf_dir: str) -> str:
 
     from navgraph_osm_spark.sources.pbf import write_osm_pbf
 
+    # v2: version tag guards against a STALE cached fixture from an older
+    # generator surviving in /tmp across rounds (the single-pass stage is
+    # keyed by file fingerprint, so it follows automatically)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"s1_pbf_{tag}.osm.pbf")
+    path = os.path.join(tempfile.gettempdir(), f"s1_pbf_v2_{tag}.osm.pbf")
     if os.path.exists(path):
         return path
     wn = (

@@ -423,3 +423,20 @@ def test_distance_join_matches_bruteforce(spark):
         one = distance_join(left, right, radius, res=10).collect()
         for r in one[:20]:
             assert abs(r["dist_km"] - d[r["left_id"], r["right_id"]]) < 1e-9
+
+
+def test_distance_join_plans_equi_join(spark):
+    """The range join must plan as a cell equi join — never a cartesian or
+    broadcast-nested-loop product."""
+    from navgraph_osm_spark.operators.knn import distance_join
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"left_id": [1, 2], "lat": [48.0, 49.0], "lng": [2.0, 3.0]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"right_id": [7], "lat": [48.5], "lng": [2.5]})
+    )
+    plan = distance_join(a, b, 25.0, res=10, max_abs_lat=50.0)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
