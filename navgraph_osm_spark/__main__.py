@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
     args = ap.parse_args(argv)
     if args.input_dir is None and args.demo_grid is None:
         ap.error("provide an input_dir or --demo-grid ROWSxCOLS")
+    if args.demo_grid and args.output_csv is None and args.input_dir is not None:
+        # with --demo-grid no input is read, so a single positional is the
+        # OUTPUT csv (``--demo-grid 8x8 out.csv`` previously wrote nothing:
+        # the path landed in the unused input slot)
+        args.input_dir, args.output_csv = None, args.input_dir
 
     own_session = spark is None
     if own_session:
