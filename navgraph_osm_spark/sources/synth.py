@@ -259,14 +259,20 @@ def _pixels_for(img_id: int, w: int, h: int, seed: int) -> np.ndarray:
 
 
 def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
-    """Full image rows (with encoded bytes + phash) for an id batch."""
+    """Full image rows (with encoded bytes + phash) for an id batch.
+
+    The zlib encode/decode runs per image (C-speed, shape-independent);
+    the perceptual hash of the DECODED pixels (so the lossy roundtrip
+    verifies) goes through the same-shape batched kernel
+    (codec.phash64_many) — bit-identical to the scalar path."""
+    from navgraph_osm_spark.sources.codec import phash64_many
+
     base = image_fields(ids, seed)
-    blobs, hashes, fps = [], [], []
+    blobs, decoded, fps = [], [], []
     for row, img_id in zip(base.itertuples(index=False), ids):
         arr = _pixels_for(int(img_id), int(row.w), int(row.h), seed)
         blobs.append(encode_image(arr, row.fmt))
-        # phash of the *decoded* pixels so the lossy roundtrip verifies
-        hashes.append(phash64(decode_image(blobs[-1])))
+        decoded.append(decode_image(blobs[-1]))
         hlf = float(row.half)
         fps.append(
             [
@@ -278,7 +284,7 @@ def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
         )
     out = base.drop(columns=["half"])
     out["bytes"] = blobs
-    out["phash"] = np.array(hashes, dtype=np.int64)
+    out["phash"] = phash64_many(decoded) if decoded else np.empty(0, np.int64)
     out["footprint"] = fps
     return out[
         ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lng", "footprint"]

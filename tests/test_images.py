@@ -110,3 +110,28 @@ def test_fused_gen_decode_stats(spark):
 def test_external_decoder_stub():
     with pytest.raises(NotImplementedError):
         codec.external_decoder_stub(b"xx", "jpeg")
+
+
+def test_phash_batch_bit_identical():
+    """phash64_batch / phash64_many must equal the scalar phash64 BIT FOR
+    BIT on this platform — the guard that batched BLAS gemm and batched
+    means round identically to the per-image path (if a platform ever
+    breaks this, the pipeline stays internally consistent but this test
+    flags the divergence)."""
+    import numpy as np
+
+    from navgraph_osm_spark.sources.codec import phash64, phash64_many
+    from navgraph_osm_spark.sources.synth import _pixels_for
+
+    rng = np.random.default_rng(5)
+    arrs = []
+    for i in range(300):
+        w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
+        arrs.append(_pixels_for(i, w, h, 42))
+    # plus pure-noise images (no smooth structure)
+    for i in range(100):
+        w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
+        arrs.append(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+    got = phash64_many(arrs)
+    want = np.array([phash64(a) for a in arrs], dtype=np.int64)
+    assert (got == want).all()
