@@ -425,20 +425,50 @@ def pbf_manifest(path: str) -> list[tuple[int, int, str]]:
 
 
 def _decompress_blob(buf: bytes) -> bytes:
-    """Blob message → PrimitiveBlock bytes (raw or zlib; worker.hpp:58-66)."""
-    raw = zdata = None
+    """Blob message → PrimitiveBlock bytes.
+
+    The reference handles raw + zlib (worker.hpp:58-66, the only codecs in
+    real planet extracts); fileformat.proto also allows lzma(4), the
+    deprecated bzip2(5), lz4(6) and zstd(7).  The stdlib codecs are
+    supported here; lz4/zstd raise with a clear message unless the
+    optional module is importable."""
+    payload = None
+    decomp = None
     raw_size = 0
     for fnum, wt, val in _fields(buf, 0, len(buf)):
-        if fnum == 1 and wt == 2:
-            raw = buf[val[0] : val[0] + val[1]]
-        elif fnum == 2 and wt == 0:
+        if fnum == 2 and wt == 0:
             raw_size = val
-        elif fnum == 3 and wt == 2:
-            zdata = buf[val[0] : val[0] + val[1]]
-    if raw is not None:
-        return raw
-    if zdata is not None:
-        out = zlib.decompress(zdata)
+            continue
+        if wt != 2:
+            continue
+        data = buf[val[0] : val[0] + val[1]]
+        if fnum == 1:
+            return data  # raw
+        if fnum == 3:
+            payload, decomp = data, zlib.decompress
+        elif fnum == 4:
+            import lzma
+
+            payload, decomp = data, lzma.decompress
+        elif fnum == 5:
+            import bz2
+
+            payload, decomp = data, bz2.decompress
+        elif fnum in (6, 7):
+            name = {6: "lz4", 7: "zstandard"}[fnum]
+            try:
+                mod = __import__(name)
+            except ImportError as e:  # pragma: no cover - optional codec
+                raise ValueError(
+                    f"blob uses {name} compression; `pip install {name}` "
+                    "to read this extract"
+                ) from e
+            if fnum == 6:  # pragma: no cover - optional codec
+                payload, decomp = data, lambda d: mod.frame.decompress(d)
+            else:  # pragma: no cover - optional codec
+                payload, decomp = data, mod.ZstdDecompressor().decompress
+    if payload is not None:
+        out = decomp(payload)
         if raw_size and len(out) != raw_size:
             raise ValueError("blob raw_size mismatch")
         return out

@@ -412,3 +412,26 @@ def test_empty_string_tag_value_uses_scalar_kv_fallback(tmp_path):
             assert got["nodes"][3] == ref["nodes"][3] == [
                 {"name": "", "k": "v"}, None
             ]
+
+
+def test_lzma_and_bzip2_blobs_decode(spark, tmp_path):
+    """fileformat.proto's lzma(4) and bzip2(5) Blob codecs decode through
+    the stdlib — hand-framed here since the writer emits zlib."""
+    import bz2
+    import lzma
+
+    # build a dense block (ids [5], lat raw [4], lon raw [3]) once
+    dense = bytes([0x0A, 0x01, 0x0A] + [0x42, 0x01, 0x08] + [0x4A, 0x01, 0x06])
+    group = bytes([0x12, len(dense)]) + dense
+    strtab = bytes([0x0A, 0x00])
+    block = bytes([0x0A, len(strtab)]) + strtab + bytes([0x12, len(group)]) + group
+    for fnum, comp in ((4, lzma.compress), (5, bz2.compress)):
+        cdata = comp(block)
+        blob = bytes([0x10, len(block)])  # raw_size (f2)
+        blob += pbf._enc_bytes_field(fnum, cdata)
+        header = bytes([0x0A, 0x07]) + b"OSMData" + pbf._enc_varint_field(3, len(blob))
+        path = tmp_path / f"c{fnum}.osm.pbf"
+        path.write_bytes(struct.pack(">I", len(header)) + header + blob)
+        got = {r["id"]: (r["lat"], r["lng"]) for r in
+               pbf.scan_pbf(spark, str(path), "nodes").collect()}
+        assert got == {5: (pytest.approx(4e-7), pytest.approx(3e-7))}, fnum
