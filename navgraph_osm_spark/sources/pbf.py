@@ -1408,44 +1408,65 @@ def _entity_view(union: DataFrame, entity: str) -> DataFrame:
 
 def load_osm_tables(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     stage_dir: str | None = None,
     single_pass: bool = True,
     partitions: int | None = None,
     decode_log: str | None = None,
 ) -> dict[str, DataFrame]:
-    """All graph-build inputs from one .osm.pbf: nodes / node_tags / ways /
-    way_nodes / relation_members / relation_tags (column shapes match
-    operators.graph_build and operators.relations directly).
+    """All graph-build inputs from one or several ``.osm.pbf`` extracts:
+    nodes / node_tags / ways / way_nodes / relation_members /
+    relation_tags (column shapes match operators.graph_build and
+    operators.relations directly).
 
     ``single_pass`` (default) reproduces the reference's one-parse fan-out
     (main.cpp:59-222): ONE Spark job decodes every blob exactly once into a
     union frame written ``partitionBy("entity")`` under ``stage_dir`` (a
-    fingerprint-keyed subdirectory — re-loading the same unmodified file
-    reuses the stage; an edited file re-stages).  Each returned table is a
-    partition-pruned columnar read of that stage, so the 4-5× redundant
-    decompress+decode of scanning per entity never happens.  With
-    ``single_pass=False`` each table is an independent :func:`scan_pbf`
-    (one decode per blob PER ENTITY — kept for A/B benchmarking).
+    fingerprint-keyed subdirectory — re-loading the same unmodified
+    file(s) reuses the stage; an edited file re-stages).  Each returned
+    table is a partition-pruned columnar read of that stage, so the 4-5×
+    redundant decompress+decode of scanning per entity never happens.
+    With ``single_pass=False`` each table is an independent
+    :func:`scan_pbf` (one decode per blob PER ENTITY — kept for A/B
+    benchmarking; single-file only).
+
+    A LIST of paths is the multi-extract pipeline (region files of a
+    planet): blobs of every file decode in the same job, the stage key is
+    the combined fingerprint (any edited file re-stages), and duplicate
+    entities across overlapping extracts are the caller's concern (OSM
+    region extracts duplicate border objects; dedupe downstream with
+    ``dropDuplicates(["id"])`` if the extracts overlap).
     """
     entities = tuple(_ENTITY_SCHEMAS)
+    paths = [path] if isinstance(path, str) else list(path)
     if not single_pass:
-        return {e: scan_pbf(spark, path, e, partitions) for e in entities}
-    if _manifest_df(spark, path, partitions) is None:
-        # header-only file: nothing to stage (and an empty parquet dir
+        if len(paths) != 1:
+            raise ValueError("single_pass=False supports a single file")
+        return {e: scan_pbf(spark, paths[0], e, partitions) for e in entities}
+    scans = [
+        scan_pbf_all(spark, p, partitions=partitions, decode_log=decode_log)
+        for p in paths
+        if _manifest_df(spark, p, partitions) is not None
+    ]
+    if not scans:
+        # header-only input: nothing to stage (and an empty parquet dir
         # cannot be read back) — empty typed frames directly
         return {
             e: spark.createDataFrame([], _ENTITY_SCHEMAS[e]) for e in entities
         }
-    fp = pbf_file_fingerprint(path)
+    import hashlib
+
+    fp = hashlib.md5(
+        "|".join(pbf_file_fingerprint(p) for p in paths).encode()
+    ).hexdigest()
     root = stage_dir or os.path.join(
         tempfile.gettempdir(), "navgraph_pbf_stage"
     )
-    stage = os.path.join(root, fp.split(":", 1)[1][:16])
+    stage = os.path.join(root, fp[:16])
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        union = scan_pbf_all(
-            spark, path, partitions=partitions, decode_log=decode_log
-        )
+        union = scans[0]
+        for s in scans[1:]:
+            union = union.unionByName(s)
         union.write.mode("overwrite").partitionBy("entity").parquet(stage)
     staged = spark.read.parquet(stage)
     return {e: _entity_view(staged, e) for e in entities}

@@ -435,3 +435,30 @@ def test_lzma_and_bzip2_blobs_decode(spark, tmp_path):
         got = {r["id"]: (r["lat"], r["lng"]) for r in
                pbf.scan_pbf(spark, str(path), "nodes").collect()}
         assert got == {5: (pytest.approx(4e-7), pytest.approx(3e-7))}, fnum
+
+
+def test_load_osm_tables_multi_file(spark, tmp_path):
+    """A LIST of extracts loads through one staged decode job: entities
+    from every file land in the same tables; editing ONE file re-stages."""
+    p1 = str(tmp_path / "a.osm.pbf")
+    p2 = str(tmp_path / "b.osm.pbf")
+    pbf.write_osm_pbf(
+        p1,
+        nodes=(np.array([1, 2], np.int64), np.array([0.0001, 0.0002]),
+               np.array([0.0001, 0.0002])),
+        ways=[(10, {"highway": "residential"}, np.array([1, 2]))],
+    )
+    pbf.write_osm_pbf(
+        p2,
+        nodes=(np.array([3], np.int64), np.array([0.0003]), np.array([0.0003])),
+        ways=[(20, {"highway": "primary"}, np.array([3, 1]))],
+    )
+    t = pbf.load_osm_tables(spark, [p1, p2], stage_dir=str(tmp_path / "st"))
+    assert {r["id"] for r in t["nodes"].collect()} == {1, 2, 3}
+    assert {r["id"] for r in t["ways"].collect()} == {10, 20}
+    assert t["way_nodes"].count() == 4
+    stages_before = set(os.listdir(tmp_path / "st"))
+    # touching one file produces a new combined stage key
+    os.utime(p2, ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_001))
+    pbf.load_osm_tables(spark, [p1, p2], stage_dir=str(tmp_path / "st"))["nodes"].count()
+    assert len(set(os.listdir(tmp_path / "st"))) == len(stages_before) + 1
