@@ -114,14 +114,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         from navgraph_osm_spark.sources.synth import gen_road_grid
 
         t0 = time.time()
+        first_input = (args.input_dir or "").split(",")[0]
         warehouse = args.warehouse or os.path.join(
-            os.path.dirname(args.input_dir) if args.input_dir and os.path.isfile(args.input_dir)
+            os.path.dirname(first_input) if first_input and os.path.isfile(first_input)
             else (args.input_dir or "."),
             "_navgraph_warehouse",
         )
         if args.demo_grid:
             rows, cols = (int(v) for v in args.demo_grid.lower().split("x"))
             tables = gen_road_grid(spark, rows=rows, cols=cols)
+        elif "," in (args.input_dir or "") and all(
+            os.path.isfile(p) for p in args.input_dir.split(",")
+        ):
+            # multi-extract pipeline: comma-separated .osm.pbf files staged
+            # through ONE single-pass decode job
+            tables = _load_pbf(spark, args.input_dir.split(","), warehouse)
         elif os.path.isfile(args.input_dir):
             tables = _load_pbf(spark, args.input_dir, warehouse)
         else:

@@ -123,3 +123,36 @@ def test_cli_demo_grid_bucketed_strict(spark, tmp_path):
     )
     assert strict["edges_emitted"] == base["edges_emitted"]
     assert 0 < strict["expanded_edges"] <= base["expanded_edges"]
+
+
+def test_cli_multi_extract_input(spark, tmp_path):
+    """Comma-separated .osm.pbf inputs run the pipeline over the union of
+    extracts (one staged decode job)."""
+    import numpy as np
+
+    from navgraph_osm_spark.__main__ import main
+    from navgraph_osm_spark.sources import pbf
+
+    p1, p2 = str(tmp_path / "r1.osm.pbf"), str(tmp_path / "r2.osm.pbf")
+    # two region extracts sharing node 5 (the split point)
+    pbf.write_osm_pbf(
+        p1,
+        nodes=(np.array([1, 2, 5], np.int64),
+               np.array([0.0001, 0.0002, 0.0005]),
+               np.array([0.0001, 0.0002, 0.0005])),
+        ways=[(10, {"highway": "residential"}, np.array([1, 2, 5]))],
+    )
+    pbf.write_osm_pbf(
+        p2,
+        nodes=(np.array([6, 7], np.int64),
+               np.array([0.0006, 0.0007]),
+               np.array([0.0006, 0.0007])),
+        ways=[(20, {"highway": "primary"}, np.array([5, 6, 7]))],
+    )
+    counts = main(
+        [f"{p1},{p2}", "--warehouse", str(tmp_path / "wh"), "--res", "10"],
+        spark=spark,
+    )
+    assert counts["ways_used"] == 2
+    assert counts["nodes_total"] == 5
+    assert counts["edges_emitted"] > 0
