@@ -104,13 +104,20 @@ def per_cell_stats_grouped(points_with_cell: DataFrame) -> DataFrame:
     )
 
 
-def tile_assignment(images: DataFrame, res: int) -> DataFrame:
-    """image_id → covering tile cells of its footprint (sorted, distinct)."""
-    return (
-        covering_cells(images.select("image_id", "footprint"), res)
-        .select("image_id", "cell")
-        .distinct()
+def tile_assignment(images: DataFrame, res: int, dedupe: bool = False) -> DataFrame:
+    """image_id → covering tile cells of its footprint.
+
+    (image_id, cell) pairs are UNIQUE BY CONSTRUCTION — the covering-cell
+    explode emits each (x, y) of the bbox grid exactly once per row — so
+    the default plan is pure codegen with ZERO shuffle (the former
+    ``.distinct()`` added a two-stage HashAggregate exchange for nothing;
+    at 10^12 images that shuffle IS the job).  ``dedupe=True`` restores
+    the aggregate for callers whose input carries duplicate image rows.
+    """
+    out = covering_cells(images.select("image_id", "footprint"), res).select(
+        "image_id", "cell"
     )
+    return out.distinct() if dedupe else out
 
 
 _REFINE_HELP_COLS = ("__plat", "__plng", "__fp_lat", "__fp_lng")

@@ -440,3 +440,23 @@ def test_distance_join_plans_equi_join(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tile_assignment_plans_zero_shuffle(spark):
+    """tile_assignment pairs are unique by construction, so the default
+    plan must be pure codegen: no Exchange, no HashAggregate (the former
+    distinct); dedupe=True restores the aggregate."""
+    rows = [
+        {"image_id": "a",
+         "footprint": [{"lat": 1.0, "lng": 1.0}, {"lat": 1.0, "lng": 2.0},
+                        {"lat": 2.0, "lng": 2.0}, {"lat": 2.0, "lng": 1.0}]},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, footprint array<struct<lat:double,lng:double>>",
+    )
+    plan = tile_assignment(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    plan2 = tile_assignment(df, 8, dedupe=True)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "HashAggregate" in plan2
