@@ -120,6 +120,89 @@ def tile_assignment(images: DataFrame, res: int, dedupe: bool = False) -> DataFr
     return out.distinct() if dedupe else out
 
 
+def clip_ring_at_meridian_np(lats: np.ndarray, lngs: np.ndarray):
+    """Split a ring STRADDLING ±180° into (west_ring, east_ring) via a
+    Sutherland–Hodgman clip at the seam.
+
+    Works in shifted space (negative longitudes +360 → the ring is
+    continuous around 180); the west part keeps its coordinates, the east
+    part maps back by −360.  Returns ``None`` when the ring does not
+    straddle (max−min ≤ 180°).  Either output may be empty (ring entirely
+    on one side after normalization).
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lngs = np.asarray(lngs, dtype=np.float64)
+    if lngs.size == 0 or (lngs.max() - lngs.min()) <= 180.0:
+        return None
+    sh = np.where(lngs < 0.0, lngs + 360.0, lngs)
+
+    def _clip(keep_west: bool):
+        out_lat: list[float] = []
+        out_lng: list[float] = []
+        n = sh.size
+        for i in range(n):
+            j = (i + 1) % n
+            a_in = (sh[i] <= 180.0) if keep_west else (sh[i] >= 180.0)
+            b_in = (sh[j] <= 180.0) if keep_west else (sh[j] >= 180.0)
+            if a_in:
+                out_lat.append(lats[i])
+                out_lng.append(sh[i])
+            if a_in != b_in:  # edge crosses the seam: interpolate at 180
+                t = (180.0 - sh[i]) / (sh[j] - sh[i])
+                out_lat.append(lats[i] + (lats[j] - lats[i]) * t)
+                out_lng.append(180.0)
+        ol = np.array(out_lng)
+        if not keep_west:
+            ol = ol - 360.0
+        return np.array(out_lat), ol
+
+    return _clip(True), _clip(False)
+
+
+def split_antimeridian(
+    polygons: DataFrame, poly_id: str = "poly_id", fp: str = "footprint"
+) -> DataFrame:
+    """Preprocess a polygon table so no footprint straddles ±180°.
+
+    Straddling rows (lng span > 180° — the GeoJSON heuristic) are clipped
+    at the seam into up to two rows SHARING the polygon id; everything
+    else passes through untouched.  The split output composes with
+    :func:`point_in_polygon_join` / :func:`tile_assignment` unchanged: a
+    point lies in at most one shell so pairs stay unique, and each
+    shell's bbox is tight — without the split, a Fiji-straddling
+    footprint's bbox spans nearly all longitudes and covering-cell
+    expansion degenerates to a full cell row (see SCALE.md).  Dim-table
+    transform (Arrow-batched, not a hot path); single-ring polygons only
+    — multi-ring rows should be split per ring upstream.
+    """
+    schema = polygons.select(poly_id, fp).schema
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for pid, footprint in zip(pdf[poly_id], pdf[fp]):
+                la = np.array([p["lat"] for p in footprint])
+                ln = np.array([p["lng"] for p in footprint])
+                parts = clip_ring_at_meridian_np(la, ln)
+                if parts is None:
+                    ids.append(pid)
+                    fps.append(list(footprint))
+                    continue
+                for plat, plng in parts:
+                    if plat.size >= 3:
+                        ids.append(pid)
+                        fps.append(
+                            [{"lat": float(a), "lng": float(b)}
+                             for a, b in zip(plat, plng)]
+                        )
+            yield pd.DataFrame({poly_id: ids, fp: pd.Series(fps, dtype="object")})
+
+    return polygons.select(poly_id, fp).mapInPandas(
+        _kernel, schema=schema
+    )
+
+
 _REFINE_HELP_COLS = ("__plat", "__plng", "__fp_lat", "__fp_lng")
 
 

@@ -460,3 +460,64 @@ def test_tile_assignment_plans_zero_shuffle(spark):
     plan2 = tile_assignment(df, 8, dedupe=True)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "HashAggregate" in plan2
+
+
+def test_split_antimeridian():
+    """A footprint straddling ±180° splits into tight west/east shells
+    sharing the poly id; the PIP join over the split output finds points
+    on BOTH sides of the seam with unique pairs, and non-straddling rows
+    pass through bit-identical."""
+    import pyspark.sql.functions as F
+
+    from navgraph_osm_spark.operators.spatial_join import (
+        clip_ring_at_meridian_np,
+        split_antimeridian,
+    )
+
+    # numpy level: quad from lng 178 to -178 (width 4 deg across the seam)
+    la = np.array([0.0, 0.0, 10.0, 10.0])
+    ln = np.array([178.0, -178.0, -178.0, 178.0])
+    west, east = clip_ring_at_meridian_np(la, ln)
+    assert west[1].min() >= 178.0 and west[1].max() == 180.0
+    assert east[1].min() == -180.0 and east[1].max() <= -178.0
+    # non-straddling ring: no split
+    assert clip_ring_at_meridian_np(la, np.array([1.0, 2.0, 2.0, 1.0])) is None
+
+    spark_df_rows = [
+        {"poly_id": 1, "footprint": [
+            {"lat": 0.0, "lng": 178.0}, {"lat": 0.0, "lng": -178.0},
+            {"lat": 10.0, "lng": -178.0}, {"lat": 10.0, "lng": 178.0}]},
+        {"poly_id": 2, "footprint": [
+            {"lat": 5.0, "lng": 1.0}, {"lat": 5.0, "lng": 2.0},
+            {"lat": 6.0, "lng": 2.0}, {"lat": 6.0, "lng": 1.0}]},
+    ]
+    spark = __import__("pyspark").sql.SparkSession.getActiveSession()
+    polys = spark.createDataFrame(
+        pd.DataFrame(spark_df_rows),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    split = split_antimeridian(polys)
+    got = split.collect()
+    assert sorted(r["poly_id"] for r in got) == [1, 1, 2]
+    # untouched row passes through exactly
+    p2 = [r for r in got if r["poly_id"] == 2][0]["footprint"]
+    assert [(p["lat"], p["lng"]) for p in p2] == [
+        (5.0, 1.0), (5.0, 2.0), (6.0, 2.0), (6.0, 1.0)]
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({
+            "point_id": [1, 2, 3, 4],
+            "lat": [5.0, 5.0, 5.0, 5.5],
+            "lng": [179.0, -179.0, 0.0, 1.5],
+        })
+    )
+    pairs = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(pts, split, res=6).collect()
+    }
+    assert pairs == {(1, 1), (2, 1), (4, 2)}
+    # without the split, the straddling bbox would have matched nothing on
+    # the short path OR exploded the candidate set — the split output also
+    # keeps candidate bboxes tight:
+    n_cells = covering_cells(split.filter("poly_id = 1"), 6).count()
+    assert n_cells <= 16, n_cells  # two tight shells, not a full lng row
