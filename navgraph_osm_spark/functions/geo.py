@@ -106,6 +106,49 @@ def find_middle_point_np(lats: np.ndarray, lngs: np.ndarray) -> tuple[float, flo
     )
 
 
+def _orient_np(ax, ay, bx, by, cx, cy):
+    """Sign of the cross product (b-a) × (c-a), broadcastable."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def polygons_intersect_np(
+    a_lat: np.ndarray, a_lng: np.ndarray, b_lat: np.ndarray, b_lng: np.ndarray
+) -> bool:
+    """Do two simple polygons overlap?  True iff any vertex of one lies in
+    the other (even-odd interior) OR any edge pair properly crosses.
+
+    Boundary semantics are the half-open even-odd convention of
+    :func:`points_in_polygon_np`: a polygon's low-side edges are closed,
+    so axis-aligned neighbors sharing an edge or corner report True
+    through the closed side (consistent with the closed-interval bbox
+    prefilter of the overlay join).  Vectorized: the edge-pair test is one
+    broadcasted orientation check over all |A|×|B| segment pairs.
+    """
+    a_lat = np.asarray(a_lat, dtype=np.float64)
+    a_lng = np.asarray(a_lng, dtype=np.float64)
+    b_lat = np.asarray(b_lat, dtype=np.float64)
+    b_lng = np.asarray(b_lng, dtype=np.float64)
+    if points_in_polygon_np(a_lat, a_lng, b_lat, b_lng).any():
+        return True
+    if points_in_polygon_np(b_lat, b_lng, a_lat, a_lng).any():
+        return True
+    # closed edge lists
+    ax1, ay1 = a_lng, a_lat
+    ax2, ay2 = np.roll(a_lng, -1), np.roll(a_lat, -1)
+    bx1, by1 = b_lng, b_lat
+    bx2, by2 = np.roll(b_lng, -1), np.roll(b_lat, -1)
+    # broadcast A edges (m,1) vs B edges (1,n)
+    o1 = _orient_np(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
+                    bx1[None, :], by1[None, :])
+    o2 = _orient_np(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
+                    bx2[None, :], by2[None, :])
+    o3 = _orient_np(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
+                    ax1[:, None], ay1[:, None])
+    o4 = _orient_np(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
+                    ax2[:, None], ay2[:, None])
+    return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+
+
 def points_in_polygon_np(
     plat: np.ndarray,
     plng: np.ndarray,

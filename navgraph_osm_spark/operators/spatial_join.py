@@ -120,6 +120,98 @@ def tile_assignment(images: DataFrame, res: int, dedupe: bool = False) -> DataFr
     return out.distinct() if dedupe else out
 
 
+def polygon_intersection_join(
+    a_polys: DataFrame,
+    b_polys: DataFrame,
+    res: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    fp: str = "footprint",
+    exact: bool = True,
+) -> DataFrame:
+    """Polygon ⋈ polygon OVERLAY join: pairs whose footprints intersect —
+    the fourth classic spatial join next to containment (PIP), nearest
+    (kNN) and range (distance_join).
+
+    Plan (candidate work JVM-side):
+
+    1. both sides explode to covering cells; equi join on ``cell``;
+    2. codegen bbox-overlap prefilter (closed intervals);
+    3. **dedup-free responsibility cell**: a pair's bboxes share many
+       cells, so the join would emit it once per shared cell — instead the
+       pair is kept only where the join cell equals the cell of the
+       intersection-bbox corner ``(max(lat_mins), max(lng_mins))``, which
+       lies in both coverings exactly once.  No distinct, no shuffle.
+    4. exact refinement (vertex-in-other ∪ proper edge crossing,
+       :func:`functions.geo.polygons_intersect_np`) in an Arrow batch.
+
+    Boundary semantics: shared-boundary-only contact (no interior
+    overlap, no crossing) reports False — the even-odd convention of the
+    underlying kernels.
+    """
+    ca = covering_cells(
+        a_polys.select(F.col(a_id), F.col(fp).alias("__a_fp")),
+        res, "__a_fp", keep_bbox=True,
+    ).select(
+        a_id, "__a_fp", "cell",
+        F.col("lat_min").alias("a_lat_min"), F.col("lat_max").alias("a_lat_max"),
+        F.col("lng_min").alias("a_lng_min"), F.col("lng_max").alias("a_lng_max"),
+    )
+    cb = covering_cells(
+        b_polys.select(F.col(b_id), F.col(fp).alias("__b_fp")),
+        res, "__b_fp", keep_bbox=True,
+    ).select(
+        b_id, "__b_fp", "cell",
+        F.col("lat_min").alias("b_lat_min"), F.col("lat_max").alias("b_lat_max"),
+        F.col("lng_min").alias("b_lng_min"), F.col("lng_max").alias("b_lng_max"),
+    )
+    lat_ref = F.greatest("a_lat_min", "b_lat_min")
+    lng_ref = F.greatest("a_lng_min", "b_lng_min")
+    cand = (
+        ca.join(cb, "cell")
+        .filter(
+            (F.col("a_lat_min") <= F.col("b_lat_max"))
+            & (F.col("b_lat_min") <= F.col("a_lat_max"))
+            & (F.col("a_lng_min") <= F.col("b_lng_max"))
+            & (F.col("b_lng_min") <= F.col("a_lng_max"))
+        )
+        .filter(cell_expr(lat_ref, lng_ref, res) == F.col("cell"))
+    )
+    if not exact:
+        return cand.select(a_id, b_id)
+    sel = cand.select(
+        F.col(a_id),
+        F.col(b_id),
+        F.transform("__a_fp", lambda p: p["lat"]).alias("__alat"),
+        F.transform("__a_fp", lambda p: p["lng"]).alias("__alng"),
+        F.transform("__b_fp", lambda p: p["lat"]).alias("__blat"),
+        F.transform("__b_fp", lambda p: p["lng"]).alias("__blng"),
+    )
+    dtypes = dict(sel.dtypes)
+    out_schema = f"{a_id} {dtypes[a_id]}, {b_id} {dtypes[b_id]}"
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from navgraph_osm_spark.functions.geo import polygons_intersect_np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[[a_id, b_id]]
+                continue
+            keep = np.fromiter(
+                (
+                    polygons_intersect_np(al, an, bl, bn)
+                    for al, an, bl, bn in zip(
+                        pdf["__alat"], pdf["__alng"], pdf["__blat"], pdf["__blng"]
+                    )
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            yield pdf[keep][[a_id, b_id]]
+
+    return sel.mapInPandas(_kernel, schema=out_schema)
+
+
 def clip_ring_at_meridian_np(lats: np.ndarray, lngs: np.ndarray):
     """Split a ring STRADDLING ±180° into (west_ring, east_ring) via a
     Sutherland–Hodgman clip at the seam.

@@ -521,3 +521,72 @@ def test_split_antimeridian():
     # keeps candidate bboxes tight:
     n_cells = covering_cells(split.filter("poly_id = 1"), 6).count()
     assert n_cells <= 16, n_cells  # two tight shells, not a full lng row
+
+
+def test_polygons_intersect_kernel_cases():
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np as isect
+
+    sq = lambda x0, y0, s: (np.array([y0, y0, y0 + s, y0 + s]),
+                            np.array([x0, x0 + s, x0 + s, x0]))
+    # overlapping squares
+    assert isect(*sq(0, 0, 2), *sq(1, 1, 2))
+    # containment (no edge crossings, inner vertices inside)
+    assert isect(*sq(0, 0, 10), *sq(4, 4, 1))
+    assert isect(*sq(4, 4, 1), *sq(0, 0, 10))
+    # disjoint
+    assert not isect(*sq(0, 0, 1), *sq(5, 5, 1))
+    # plus-shape: crossing thin rectangles, NO vertex of either inside
+    h = (np.array([4.0, 4.0, 6.0, 6.0]), np.array([0.0, 10.0, 10.0, 0.0]))
+    v = (np.array([0.0, 0.0, 10.0, 10.0]), np.array([4.0, 6.0, 6.0, 4.0]))
+    assert isect(*h, *v)
+    # boundary-touch (shared edge, no interior overlap): the half-open
+    # even-odd convention reports True through the CLOSED low side —
+    # consistent with the closed-interval bbox prefilter (documented)
+    assert isect(*sq(0, 0, 2), *sq(2, 0, 2))
+    # strictly separated by any gap: False
+    assert not isect(*sq(0, 0, 2), *sq(2.000001, 0, 2))
+
+
+def test_polygon_intersection_join_matches_bruteforce(spark):
+    """Overlay join vs per-pair kernel brute force: identical pair sets,
+    one row per pair (the responsibility-cell trick needs no distinct)."""
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np
+    from navgraph_osm_spark.operators.spatial_join import polygon_intersection_join
+
+    rng = np.random.default_rng(13)
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            clat, clng = rng.uniform(48.2, 49.3), rng.uniform(1.7, 3.3)
+            r = rng.uniform(0.02, 0.3)
+            nv = int(rng.integers(3, 8))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rows.append({
+                "pid": id0 + i,
+                "footprint": [
+                    {"lat": clat + r * np.sin(t), "lng": clng + r * np.cos(t)}
+                    for t in ang
+                ],
+            })
+        return rows
+
+    ra, rb = mk(30, 0), mk(20, 100)
+    schema = "pid long, footprint array<struct<lat:double,lng:double>>"
+    A = spark.createDataFrame(pd.DataFrame(ra), schema).withColumnRenamed("pid", "a_id")
+    B = spark.createDataFrame(pd.DataFrame(rb), schema).withColumnRenamed("pid", "b_id")
+    rows = polygon_intersection_join(A, B, res=10).collect()
+    got = [(r["a_id"], r["b_id"]) for r in rows]
+    assert len(got) == len(set(got)), "pairs must be unique without distinct"
+
+    def arrs(row):
+        return (np.array([p["lat"] for p in row["footprint"]]),
+                np.array([p["lng"] for p in row["footprint"]]))
+
+    want = {
+        (a["pid"], b["pid"])
+        for a in ra for b in rb
+        if polygons_intersect_np(*arrs(a), *arrs(b))
+    }
+    assert set(got) == want
+    assert want, "fixture must produce intersecting pairs"
