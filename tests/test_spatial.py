@@ -590,3 +590,100 @@ def test_polygon_intersection_join_matches_bruteforce(spark):
     }
     assert set(got) == want
     assert want, "fixture must produce intersecting pairs"
+
+
+def test_polygon_intersection_join_vs_duckdb_oracle(spark):
+    """CROSS-ENGINE overlay oracle: DuckDB recomputes pair intersection
+    from the raw vertex tables with its own SQL formulation of the same
+    geometry — even-odd crossing counts for vertex containment plus
+    orientation-product tests for proper edge crossings — and must agree
+    with the Spark join pair-for-pair."""
+    import duckdb
+
+    from navgraph_osm_spark.operators.spatial_join import polygon_intersection_join
+
+    rng = np.random.default_rng(21)
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            clat, clng = rng.uniform(48.2, 49.3), rng.uniform(1.7, 3.3)
+            r = rng.uniform(0.02, 0.35)
+            nv = int(rng.integers(3, 7))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rows += [
+                {"pid": id0 + i, "seq": j,
+                 "lat": clat + r * np.sin(t), "lng": clng + r * np.cos(t)}
+                for j, t in enumerate(ang)
+            ]
+        return pd.DataFrame(rows)
+
+    va, vb = mk(25, 0), mk(18, 100)
+
+    def poly_df(v, idc):
+        rows = [
+            {idc: pid, "footprint": [
+                {"lat": r.lat, "lng": r.lng}
+                for r in grp.sort_values("seq").itertuples()
+            ]}
+            for pid, grp in v.groupby("pid")
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows),
+            f"{idc} long, footprint array<struct<lat:double,lng:double>>",
+        )
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in polygon_intersection_join(
+            poly_df(va, "a_id"), poly_df(vb, "b_id"), res=10
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("va", va)
+    con.register("vb", vb)
+    # edges with wraparound per polygon
+    edges_sql = """
+    SELECT pid, lat AS y1, lng AS x1,
+           LEAD(lat) OVER w AS y2n, LEAD(lng) OVER w AS x2n,
+           FIRST_VALUE(lat) OVER w AS y0, FIRST_VALUE(lng) OVER w AS x0
+    FROM {src} WINDOW w AS (PARTITION BY pid ORDER BY seq
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """
+    con.execute(
+        "CREATE VIEW ea AS SELECT pid, y1, x1, COALESCE(y2n, y0) AS y2, "
+        "COALESCE(x2n, x0) AS x2 FROM (" + edges_sql.format(src="va") + ")"
+    )
+    con.execute(
+        "CREATE VIEW eb AS SELECT pid, y1, x1, COALESCE(y2n, y0) AS y2, "
+        "COALESCE(x2n, x0) AS x2 FROM (" + edges_sql.format(src="vb") + ")"
+    )
+    want = {
+        (int(r[0]), int(r[1]))
+        for r in con.execute("""
+        WITH in_b AS (  -- any vertex of A inside B (even-odd, kernel's exact term)
+          SELECT DISTINCT v.pid AS a, e.pid AS b FROM va v, eb e
+          WHERE TRUE GROUP BY v.pid, e.pid, v.lat, v.lng
+          HAVING SUM(CASE WHEN (e.y1 > v.lat) <> (e.y2 > v.lat)
+                           AND v.lng < e.x1 + (v.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                     THEN 1 ELSE 0 END) % 2 = 1
+        ), in_a AS (
+          SELECT DISTINCT e.pid AS a, v.pid AS b FROM vb v, ea e
+          WHERE TRUE GROUP BY v.pid, e.pid, v.lat, v.lng
+          HAVING SUM(CASE WHEN (e.y1 > v.lat) <> (e.y2 > v.lat)
+                           AND v.lng < e.x1 + (v.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                     THEN 1 ELSE 0 END) % 2 = 1
+        ), crossing AS (
+          SELECT DISTINCT a.pid AS a, b.pid AS b FROM ea a, eb b
+          WHERE ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+              * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+            AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+              * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+        )
+        SELECT a, b FROM in_b UNION SELECT a, b FROM in_a
+        UNION SELECT a, b FROM crossing
+        """).fetchall()
+    }
+    assert got == want
+    assert want, "fixture must produce intersecting pairs"
