@@ -18,7 +18,6 @@ All candidate joins are equi joins on block keys → AQE-skew-splittable.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from navgraph_osm_spark.cells import cell_xy_expr, cell_xy_sql, xy_expr
 from navgraph_osm_spark.functions import text as X
-from navgraph_osm_spark.functions.geo import haversine_expr, haversine_sql
+from navgraph_osm_spark.functions.geo import haversine_sql
 from navgraph_osm_spark.operators import dedup, graph_build, knn as knn_ops, similarity, turn_expand
 from navgraph_osm_spark.sources.tables import load_table
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from navgraph_osm_spark.sources.codec import decode_image, encode_image, phash64
-from navgraph_osm_spark.sources.synth import _u01, splitmix64
+from navgraph_osm_spark.sources.synth import splitmix64
 
 # ---------------------------------------------------------------------------
 # audio
