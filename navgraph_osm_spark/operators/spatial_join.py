@@ -120,6 +120,80 @@ def tile_assignment(images: DataFrame, res: int, dedupe: bool = False) -> DataFr
     return out.distinct() if dedupe else out
 
 
+def compact_cells(
+    tiles: DataFrame,
+    res: int,
+    cell: str = "cell",
+    keys: tuple[str, ...] = ("image_id",),
+) -> DataFrame:
+    """Minimal mixed-resolution covering (H3 ``compact_cells`` analogue):
+    wherever all four siblings of a parent are present (per ``keys``
+    group), they collapse into the parent, recursively — a tile pyramid's
+    minimal representation.  Input cells are at resolution ``res``; output
+    columns: keys + ``cell`` + ``cell_res``.
+
+    The hierarchy is bit algebra (parent = ``cell >> 2``, marker bit
+    included), so each level is one groupBy on a SHRINKING set with an
+    eager checkpoint + early exit — the adaptive-cell-split shape, ≤
+    ``res`` bounded driver rounds, never per-row Python.
+    """
+    kcols = list(keys)
+    cur = tiles.select(*kcols, F.col(cell).alias("cell")).withColumn(
+        "cell_res", F.lit(res)
+    )
+    for r in range(res, 0, -1):
+        cur = cur.localCheckpoint(eager=True)
+        full = (
+            cur.filter(F.col("cell_res") == r)
+            .groupBy(*kcols, F.shiftright("cell", 2).alias("__p"))
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == 4)
+            .select(*kcols, "__p")
+        )
+        if full.isEmpty():
+            break
+        collapsed = full.select(
+            *kcols, F.col("__p").alias("cell"), F.lit(r - 1).alias("cell_res")
+        )
+        # drop exactly the children of full parents (anti join on parent
+        # id per keys group; rows at other resolutions never match)
+        from functools import reduce as _reduce
+
+        conds = [cur[k] == full[k] for k in kcols]
+        conds.append(F.shiftright(cur["cell"], 2) == full["__p"])
+        conds.append(cur["cell_res"] == F.lit(r))
+        survivors = cur.join(full, _reduce(lambda a, b: a & b, conds), "left_anti")
+        cur = survivors.unionByName(collapsed)
+    return cur
+
+
+def uncompact_cells(
+    compacted: DataFrame,
+    to_res: int,
+    cell: str = "cell",
+    res_col: str = "cell_res",
+) -> DataFrame:
+    """Inverse of :func:`compact_cells`: every (cell, cell_res) row
+    explodes into its 4^(to_res−cell_res) descendants at ``to_res`` —
+    pure column expressions (sequence explode + bit shifts)."""
+    # shift amounts are COLUMNS (per-row res), so the shifts go through SQL
+    # expr (the python shiftleft helper only takes literal bit counts)
+    count = F.expr(f"shiftleft(1L, int(({to_res} - {res_col}) * 2))")
+    other = [c for c in compacted.columns if c not in (cell, res_col)]
+    return (
+        compacted.withColumn(
+            "__i", F.explode(F.sequence(F.lit(0).cast("long"), (count - 1).cast("long")))
+        )
+        .select(
+            *other,
+            (
+                F.expr(f"shiftleft({cell}, int(({to_res} - {res_col}) * 2))")
+                + F.col("__i")
+            ).alias(cell),
+        )
+    )
+
+
 def polygon_intersection_join(
     a_polys: DataFrame,
     b_polys: DataFrame,

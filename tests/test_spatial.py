@@ -687,3 +687,50 @@ def test_polygon_intersection_join_vs_duckdb_oracle(spark):
     }
     assert got == want
     assert want, "fixture must produce intersecting pairs"
+
+
+def test_compact_uncompact_cells(spark):
+    """H3-style compact/uncompact over the Morton hierarchy: compaction is
+    minimal (no four siblings survive), the uncompact round-trip restores
+    the EXACT original tile set per key, and a full 4^k block collapses
+    all the way to its ancestor."""
+    from navgraph_osm_spark.operators.spatial_join import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    res = 6
+    # image A: a full res-6 block under one res-4 ancestor + a lone cell
+    anc = int(cells.latlng_to_cell(np.array([10.0]), np.array([10.0]), 4)[0])
+    block = [
+        (anc << 4) + i for i in range(16)
+    ]  # all 16 res-6 descendants of anc
+    lone = int(cells.latlng_to_cell(np.array([-30.0]), np.array([60.0]), res)[0])
+    # image B: three siblings only (must NOT collapse)
+    sib_parent = int(cells.latlng_to_cell(np.array([45.0]), np.array([45.0]), 5)[0])
+    sibs = [(sib_parent << 2) + i for i in range(3)]
+    rows = [("A", c) for c in block + [lone]] + [("B", c) for c in sibs]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "cell"]), "image_id string, cell long"
+    )
+    comp = compact_cells(tiles, res).collect()
+    by_img = {}
+    for r in comp:
+        by_img.setdefault(r["image_id"], set()).add((r["cell"], r["cell_res"]))
+    # A: the block collapsed to the res-4 ancestor; the lone cell remains
+    assert by_img["A"] == {(anc, 4), (lone, res)}
+    # B: three siblings untouched
+    assert by_img["B"] == {(c, res) for c in sibs}
+    # minimality: no keys-group retains 4 siblings at any res
+    from collections import Counter
+
+    for img, cs in by_img.items():
+        parents = Counter((c >> 2, cr) for c, cr in cs)
+        assert all(v < 4 for v in parents.values()), img
+    # exact round trip
+    comp_df = compact_cells(tiles, res)
+    restored = {
+        (r["image_id"], r["cell"])
+        for r in uncompact_cells(comp_df, res).collect()
+    }
+    assert restored == {(i, c) for i, c in rows}
