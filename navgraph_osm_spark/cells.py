@@ -238,6 +238,38 @@ def cell_morton_sql(lat: str, lng: str, res: int) -> str:
     return f"({1 << (2 * res)} | {spread(x, 0)} | {spread(y, 1)})"
 
 
+def _compact_bits_expr(v: Column) -> Column:
+    """Inverse Morton interleave (column twin of :func:`_compact_bits_np`)."""
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in (
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ):
+        v = (v.bitwiseOR(F.shiftright(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def cell_bounds_expr(cell: Column, res: int) -> tuple[Column, Column, Column, Column]:
+    """(lat_min, lat_max, lng_min, lng_max) of a cell id at a KNOWN ``res``
+    — pure column expressions, the raster→vector direction (tile id →
+    geographic extent, e.g. emitting tile footprints for export or
+    feeding tiles back into the polygon joins).  Column twin of
+    :func:`cell_bounds` (which also derives per-row res for mixed inputs).
+    """
+    morton = cell.bitwiseXOR(F.lit(1 << (2 * res)).cast("long"))
+    x = _compact_bits_expr(morton).cast("double")
+    y = _compact_bits_expr(F.shiftright(morton, 1)).cast("double")
+    n = float(1 << res)
+    lng_min = x / F.lit(n) * 360.0 - 180.0
+    lng_max = (x + 1) / F.lit(n) * 360.0 - 180.0
+    lat_max = F.lit(90.0) - y / F.lit(n) * 180.0
+    lat_min = F.lit(90.0) - (y + 1) / F.lit(n) * 180.0
+    return lat_min, lat_max, lng_min, lng_max
+
+
 def grid_disk_expr(cell_x: Column, cell_y: Column, res: int, k: int) -> Column:
     """Array of (x, y) neighbor structs within Chebyshev distance k.
 

@@ -111,3 +111,40 @@ def test_cell_morton_sql_parity():
         ).df()["c"].to_numpy()
         want = cells.latlng_to_cell(pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), res)
         assert (got == want).all(), res
+
+
+def test_cell_bounds_expr_matches_numpy(spark):
+    """Column-expression cell bounds (raster→vector) equal the numpy twin
+    bit for bit, and every generating point lies inside its cell's box."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from navgraph_osm_spark import cells
+
+    rng = np.random.default_rng(31)
+    res = 9
+    lat = rng.uniform(-85, 85, 500)
+    lng = rng.uniform(-179, 179, 500)
+    cell = cells.latlng_to_cell(lat, lng, res)
+    df = spark.createDataFrame(pd.DataFrame({"cell": cell, "lat": lat, "lng": lng}))
+    lat_min, lat_max, lng_min, lng_max = cells.cell_bounds_expr(F.col("cell"), res)
+    got = df.select(
+        "cell", "lat", "lng",
+        lat_min.alias("a"), lat_max.alias("b"),
+        lng_min.alias("c"), lng_max.alias("d"),
+    ).toPandas()
+    wa, wb, wc, wd = cells.cell_bounds(cell)
+    order = got.sort_values("cell").reset_index(drop=True)
+    want = pd.DataFrame({"cell": cell, "a": wa, "b": wb, "c": wc, "d": wd}).sort_values(
+        "cell"
+    ).reset_index(drop=True)
+    assert (order["a"].to_numpy() == want["a"].to_numpy()).all()
+    assert (order["b"].to_numpy() == want["b"].to_numpy()).all()
+    assert (order["c"].to_numpy() == want["c"].to_numpy()).all()
+    assert (order["d"].to_numpy() == want["d"].to_numpy()).all()
+    inside = (
+        (got["lat"] >= got["a"]) & (got["lat"] <= got["b"])
+        & (got["lng"] >= got["c"]) & (got["lng"] <= got["d"])
+    )
+    assert inside.all()
