@@ -111,6 +111,26 @@ def _orient_np(ax, ay, bx, by, cx, cy):
     return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
 
+_EDGE_TILE = 2048  # edge-pair tile side: ≤4M elements (~32 MB) per array
+
+
+def _any_point_in_polygon_np(plat, plng, poly_lat, poly_lng) -> bool:
+    """Early-exiting ``points_in_polygon_np(...).any()``: points are tested
+    in geometrically growing chunks (1k, 8k, rest) so a hit in the first
+    chunk skips the full ray-cast — the common case for genuinely
+    overlapping large polygons."""
+    n = plat.size
+    s = 0
+    for chunk in (1024, 8192, n):
+        if s >= n:
+            break
+        e = min(n, s + chunk)
+        if points_in_polygon_np(plat[s:e], plng[s:e], poly_lat, poly_lng).any():
+            return True
+        s = e
+    return False
+
+
 def polygons_intersect_np(
     a_lat: np.ndarray, a_lng: np.ndarray, b_lat: np.ndarray, b_lng: np.ndarray
 ) -> bool:
@@ -121,32 +141,164 @@ def polygons_intersect_np(
     :func:`points_in_polygon_np`: a polygon's low-side edges are closed,
     so axis-aligned neighbors sharing an edge or corner report True
     through the closed side (consistent with the closed-interval bbox
-    prefilter of the overlay join).  Vectorized: the edge-pair test is one
-    broadcasted orientation check over all |A|×|B| segment pairs.
+    prefilter of the overlay join).  Known limitation of the strict
+    proper-crossing test (``o1*o2 < 0``): an overlap whose ONLY crossings
+    pass exactly through a vertex of the other polygon (collinear /
+    degenerate contact) is reported through the vertex-containment term
+    when a vertex lands inside, but a zero-area-contact crossing that
+    threads exactly through vertices with NO vertex of either polygon
+    interior to the other can report False — exact-vertex-crossing
+    contacts share the boundary-semantics caveat above.
+
+    Memory is bounded for arbitrarily large polygons: edges are first
+    prefiltered against the other polygon's bbox (a crossing edge pair
+    must have both edges meeting the shared bbox), then the |A'|×|B'|
+    orientation test runs in fixed-size tiles (``_EDGE_TILE``²) with early
+    exit — a 50k×50k-vertex pair allocates tile-sized scratch, never the
+    full 2.5G-element broadcast.
     """
     a_lat = np.asarray(a_lat, dtype=np.float64)
     a_lng = np.asarray(a_lng, dtype=np.float64)
     b_lat = np.asarray(b_lat, dtype=np.float64)
     b_lng = np.asarray(b_lng, dtype=np.float64)
-    if points_in_polygon_np(a_lat, a_lng, b_lat, b_lng).any():
+    # bbox overlap region FIRST: disjoint bboxes → no containment and no
+    # crossing, before any O(vertices) work
+    ox0 = max(b_lng.min(), a_lng.min())
+    ox1 = min(b_lng.max(), a_lng.max())
+    oy0 = max(b_lat.min(), a_lat.min())
+    oy1 = min(b_lat.max(), a_lat.max())
+    if ox0 > ox1 or oy0 > oy1:
+        return False
+    # vertex containment — only vertices inside the OTHER's bbox can be
+    # contained, so the ray-cast runs on that (usually tiny) subset, with
+    # geometrically-growing point chunks for early exit on the first hit
+    ca = (a_lng >= ox0) & (a_lng <= ox1) & (a_lat >= oy0) & (a_lat <= oy1)
+    if ca.any() and _any_point_in_polygon_np(a_lat[ca], a_lng[ca], b_lat, b_lng):
         return True
-    if points_in_polygon_np(b_lat, b_lng, a_lat, a_lng).any():
+    cb = (b_lng >= ox0) & (b_lng <= ox1) & (b_lat >= oy0) & (b_lat <= oy1)
+    if cb.any() and _any_point_in_polygon_np(b_lat[cb], b_lng[cb], a_lat, a_lng):
         return True
     # closed edge lists
     ax1, ay1 = a_lng, a_lat
     ax2, ay2 = np.roll(a_lng, -1), np.roll(a_lat, -1)
     bx1, by1 = b_lng, b_lat
     bx2, by2 = np.roll(b_lng, -1), np.roll(b_lat, -1)
-    # broadcast A edges (m,1) vs B edges (1,n)
-    o1 = _orient_np(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
-                    bx1[None, :], by1[None, :])
-    o2 = _orient_np(ax1[:, None], ay1[:, None], ax2[:, None], ay2[:, None],
-                    bx2[None, :], by2[None, :])
-    o3 = _orient_np(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
-                    ax1[:, None], ay1[:, None])
-    o4 = _orient_np(bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
-                    ax2[:, None], ay2[:, None])
-    return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+    # segment prefilter: a crossing pair's edges both intersect the bbox
+    # overlap region of the two polygons — for disjoint or barely-touching
+    # footprints this eliminates nearly every edge before the O(|A|·|B|)
+    # work (coastline-scale polygons)
+
+    def _touch(x1, y1, x2, y2):
+        return (
+            (np.minimum(x1, x2) <= ox1) & (np.maximum(x1, x2) >= ox0)
+            & (np.minimum(y1, y2) <= oy1) & (np.maximum(y1, y2) >= oy0)
+        )
+
+    ka = _touch(ax1, ay1, ax2, ay2)
+    kb = _touch(bx1, by1, bx2, by2)
+    if not ka.any() or not kb.any():
+        return False
+    ax1, ay1, ax2, ay2 = ax1[ka], ay1[ka], ax2[ka], ay2[ka]
+    bx1, by1, bx2, by2 = bx1[kb], by1[kb], bx2[kb], by2[kb]
+    # tiled |A'|×|B'| orientation broadcast, early exit per tile
+    for i in range(0, ax1.size, _EDGE_TILE):
+        sl = slice(i, i + _EDGE_TILE)
+        tax1, tay1 = ax1[sl][:, None], ay1[sl][:, None]
+        tax2, tay2 = ax2[sl][:, None], ay2[sl][:, None]
+        for j in range(0, bx1.size, _EDGE_TILE):
+            sj = slice(j, j + _EDGE_TILE)
+            tbx1, tby1 = bx1[sj][None, :], by1[sj][None, :]
+            tbx2, tby2 = bx2[sj][None, :], by2[sj][None, :]
+            o1 = _orient_np(tax1, tay1, tax2, tay2, tbx1, tby1)
+            o2 = _orient_np(tax1, tay1, tax2, tay2, tbx2, tby2)
+            o3 = _orient_np(tbx1, tby1, tbx2, tby2, tax1, tay1)
+            o4 = _orient_np(tbx1, tby1, tbx2, tby2, tax2, tay2)
+            if ((o1 * o2 < 0) & (o3 * o4 < 0)).any():
+                return True
+    return False
+
+
+def points_in_polygons_pairwise_np(
+    plat: np.ndarray, plng: np.ndarray, vlat: np.ndarray, vlng: np.ndarray
+) -> np.ndarray:
+    """Batched pairwise even-odd test: for each row ``i``, are the points
+    ``(plat[i,:], plng[i,:])`` inside the polygon ``(vlat[i,:], vlng[i,:])``?
+
+    Shapes: points ``(m, k)``, polygons ``(m, n)`` → bool ``(m, k)``.  All
+    ``m`` rows evaluate in ``n`` vectorized edge passes (the loop is over
+    the shared vertex count, not rows) with the EXACT float expression of
+    :func:`points_in_polygon_np` — rings close via the cyclic edge
+    ``n-1 → 0``; for inputs already closed (first == last vertex) that
+    wrap edge is degenerate and contributes no crossings, so open and
+    closed rings agree with the per-pair kernel.
+    """
+    plat = np.asarray(plat, dtype=np.float64)
+    plng = np.asarray(plng, dtype=np.float64)
+    vlat = np.asarray(vlat, dtype=np.float64)
+    vlng = np.asarray(vlng, dtype=np.float64)
+    n = vlat.shape[1]
+    inside = np.zeros(plat.shape, dtype=bool)
+    for i in range(n):
+        j = (i + 1) % n
+        y1 = vlat[:, i][:, None]
+        x1 = vlng[:, i][:, None]
+        y2 = vlat[:, j][:, None]
+        x2 = vlng[:, j][:, None]
+        crosses = (y1 > plat) != (y2 > plat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (plat - y1) / (y2 - y1) * (x2 - x1)
+        inside ^= crosses & (plng < xint)
+    return inside
+
+
+def polygons_intersect_pairwise_np(
+    a_lat: np.ndarray, a_lng: np.ndarray, b_lat: np.ndarray, b_lng: np.ndarray,
+    chunk_elems: int = 4_000_000,
+) -> np.ndarray:
+    """Batched pairwise :func:`polygons_intersect_np`: row ``i`` of the
+    ``(m,)`` bool output answers "do polygon ``(a_lat[i], a_lng[i])`` and
+    polygon ``(b_lat[i], b_lng[i])`` overlap?".
+
+    Shapes: ``(m, na)`` and ``(m, nb)`` — the caller groups pairs by
+    vertex-count shape (the overlay join's refinement batches this way)
+    so ONE numpy call covers the whole shape group instead of a Python
+    dispatch per pair.  The ``(m, na, nb)`` edge-orientation broadcast is
+    chunked over rows to at most ``chunk_elems`` elements.  Semantics are
+    identical to the per-pair kernel (same float expressions, same
+    half-open even-odd boundary convention and vertex-contact caveat).
+    """
+    a_lat = np.asarray(a_lat, dtype=np.float64)
+    a_lng = np.asarray(a_lng, dtype=np.float64)
+    b_lat = np.asarray(b_lat, dtype=np.float64)
+    b_lng = np.asarray(b_lng, dtype=np.float64)
+    m, na = a_lat.shape
+    nb = b_lat.shape[1]
+    hit = points_in_polygons_pairwise_np(a_lat, a_lng, b_lat, b_lng).any(axis=1)
+    rem = ~hit
+    if rem.any():
+        hit[rem] |= points_in_polygons_pairwise_np(
+            b_lat[rem], b_lng[rem], a_lat[rem], a_lng[rem]
+        ).any(axis=1)
+        rem = ~hit
+    if not rem.any():
+        return hit
+    # proper edge crossings for the remaining rows, chunked over rows
+    idx = np.flatnonzero(rem)
+    rows_per_chunk = max(1, chunk_elems // max(1, na * nb))
+    for s in range(0, idx.size, rows_per_chunk):
+        ii = idx[s : s + rows_per_chunk]
+        ax1, ay1 = a_lng[ii][:, :, None], a_lat[ii][:, :, None]
+        ax2 = np.roll(a_lng[ii], -1, axis=1)[:, :, None]
+        ay2 = np.roll(a_lat[ii], -1, axis=1)[:, :, None]
+        bx1, by1 = b_lng[ii][:, None, :], b_lat[ii][:, None, :]
+        bx2 = np.roll(b_lng[ii], -1, axis=1)[:, None, :]
+        by2 = np.roll(b_lat[ii], -1, axis=1)[:, None, :]
+        o1 = _orient_np(ax1, ay1, ax2, ay2, bx1, by1)
+        o2 = _orient_np(ax1, ay1, ax2, ay2, bx2, by2)
+        o3 = _orient_np(bx1, by1, bx2, by2, ax1, ay1)
+        o4 = _orient_np(bx1, by1, bx2, by2, ax2, ay2)
+        hit[ii] = ((o1 * o2 < 0) & (o3 * o4 < 0)).any(axis=(1, 2))
+    return hit
 
 
 def points_in_polygon_np(

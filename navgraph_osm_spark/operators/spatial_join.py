@@ -49,15 +49,70 @@ def footprint_bbox(df: DataFrame, fp: str = "footprint") -> DataFrame:
 
 
 def covering_cells(df: DataFrame, res: int, fp: str = "footprint",
-                   out: str = "cell", keep_bbox: bool = False) -> DataFrame:
+                   out: str = "cell", keep_bbox: bool = False,
+                   keep_xy: bool = False, rings: str | None = None) -> DataFrame:
     """Explode each polygon row into its bbox-covering cell ids.
 
     This is the raster↔vector tiling primitive: for images, the footprint's
     covering cells ARE its tile assignments.  Pure column expressions.
     ``keep_bbox=True`` retains the lat/lng min/max columns (the spatial join
-    uses them as a codegen-side candidate prefilter).
+    uses them as a codegen-side candidate prefilter); ``keep_xy=True``
+    retains the per-cell ``cx``/``cy`` grid coordinates (the overlay join's
+    responsibility-cell test compares them directly — Morton encoding is
+    bijective in (x, y), so coordinate equality IS cell equality without
+    re-deriving the interleave).
+
+    ``rings`` names a ring-offsets column (``array<int>`` of ring start
+    indices, as in :func:`point_in_polygon_join`): covering cells are then
+    the DISTINCT UNION of per-ring bbox coverings instead of the whole
+    footprint's bbox — a multipolygon with widely-separated shells covers
+    only each shell's own cells rather than flooding the span between
+    them.  For single-ring rows (null / ≤1 offsets) and for hole-in-outer
+    donuts the set is identical to the bbox covering, so existing
+    single-bbox consumers are unaffected.  The bbox columns stay the
+    UNION bbox (prefilter semantics unchanged); still pure column
+    expressions (nested sequence transforms + ``array_distinct``), but
+    the per-row cell set materializes as one array — bounded by the
+    footprint covering size, fine for image/building footprints.
     """
     df = footprint_bbox(df, fp)
+    if rings is not None and rings in df.columns:
+        if keep_xy:
+            raise ValueError("keep_xy is not supported with per-ring coverings")
+        n = F.size(F.col(fp))
+        starts = F.when(
+            F.col(rings).isNull() | (F.size(F.col(rings)) == 0),
+            F.array(F.lit(0)),
+        ).otherwise(F.col(rings))
+        ends = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(n),
+        )
+
+        def _ring_cells(b):
+            sub = F.slice(F.col(fp), b["s"] + 1, b["e"] - b["s"])
+            lats = F.transform(sub, lambda p: p["lat"])
+            lngs = F.transform(sub, lambda p: p["lng"])
+            x0, y_top = xy_expr(F.array_max(lats), F.array_min(lngs), res)
+            x1, y_bot = xy_expr(F.array_min(lats), F.array_max(lngs), res)
+            return F.flatten(
+                F.transform(
+                    F.sequence(x0, x1),
+                    lambda x: F.transform(
+                        F.sequence(y_top, y_bot),
+                        lambda y: cell_from_xy_expr(x, y, res),
+                    ),
+                )
+            )
+
+        bounds = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+        df = df.withColumn(
+            out,
+            F.explode(F.array_distinct(F.flatten(F.transform(bounds, _ring_cells)))),
+        )
+        if not keep_bbox:
+            df = df.drop("lat_min", "lat_max", "lng_min", "lng_max")
+        return df
     x0, y_at_latmax = xy_expr(F.col("lat_max"), F.col("lng_min"), res)
     x1, y_at_latmin = xy_expr(F.col("lat_min"), F.col("lng_max"), res)
     # y grows north→south: lat_max → smaller y
@@ -65,8 +120,9 @@ def covering_cells(df: DataFrame, res: int, fp: str = "footprint",
         df.withColumn("cx", F.explode(F.sequence(x0, x1)))
         .withColumn("cy", F.explode(F.sequence(y_at_latmax, y_at_latmin)))
         .withColumn(out, cell_from_xy_expr(F.col("cx"), F.col("cy"), res))
-        .drop("cx", "cy")
     )
+    if not keep_xy:
+        df = df.drop("cx", "cy")
     if not keep_bbox:
         df = df.drop("lat_min", "lat_max", "lng_min", "lng_max")
     return df
@@ -216,8 +272,21 @@ def polygon_intersection_join(
        pair is kept only where the join cell equals the cell of the
        intersection-bbox corner ``(max(lat_mins), max(lng_mins))``, which
        lies in both coverings exactly once.  No distinct, no shuffle.
-    4. exact refinement (vertex-in-other ∪ proper edge crossing,
-       :func:`functions.geo.polygons_intersect_np`) in an Arrow batch.
+       The test compares GRID COORDINATES, not re-derived Morton ids:
+       each side carries its bbox corner's ``(x, y)`` (one FLOOR each,
+       computed before the join) and the covering row's ``(cx, cy)``;
+       since ``x(·)``/``y(·)`` are monotone, ``x(max(lng_mins)) =
+       max(x0s)`` exactly, so ``cx == greatest(x0s) AND cy ==
+       least(ymaxs)`` is bit-equivalent to the cell equality — without
+       this the full bit-interleave lands inside the SortMergeJoin
+       condition and evaluates per joined row (measured 2.7× the whole
+       join's cost at 10k×10k dense).
+    4. exact refinement (vertex-in-other ∪ proper edge crossing) in an
+       Arrow batch: pairs are rebalanced on the pair hash (the cell
+       join's skew does not reach Python) and batched BY VERTEX-COUNT
+       SHAPE so one vectorized
+       :func:`functions.geo.polygons_intersect_pairwise_np` call covers a
+       whole shape group instead of a Python dispatch per pair.
 
     Boundary semantics: shared-boundary-only contact (no interior
     overlap, no crossing) reports False — the even-odd convention of the
@@ -225,12 +294,14 @@ def polygon_intersection_join(
     """
     ca = covering_cells(
         a_polys.select(F.col(a_id), F.col(fp).alias("__a_fp")),
-        res, "__a_fp", keep_bbox=True,
+        res, "__a_fp", keep_bbox=True, keep_xy=True,
     ).select(
-        a_id, "__a_fp", "cell",
+        a_id, "__a_fp", "cell", "cx", "cy",
         F.col("lat_min").alias("a_lat_min"), F.col("lat_max").alias("a_lat_max"),
         F.col("lng_min").alias("a_lng_min"), F.col("lng_max").alias("a_lng_max"),
     )
+    a_rx, a_ry = xy_expr(F.col("a_lat_min"), F.col("a_lng_min"), res)
+    ca = ca.withColumn("__a_rx", a_rx).withColumn("__a_ry", a_ry)
     cb = covering_cells(
         b_polys.select(F.col(b_id), F.col(fp).alias("__b_fp")),
         res, "__b_fp", keep_bbox=True,
@@ -239,8 +310,13 @@ def polygon_intersection_join(
         F.col("lat_min").alias("b_lat_min"), F.col("lat_max").alias("b_lat_max"),
         F.col("lng_min").alias("b_lng_min"), F.col("lng_max").alias("b_lng_max"),
     )
-    lat_ref = F.greatest("a_lat_min", "b_lat_min")
-    lng_ref = F.greatest("a_lng_min", "b_lng_min")
+    b_rx, b_ry = xy_expr(F.col("b_lat_min"), F.col("b_lng_min"), res)
+    cb = cb.withColumn("__b_rx", b_rx).withColumn("__b_ry", b_ry)
+    # responsibility cell of the pair = cell of (max(lat_mins),
+    # max(lng_mins)); x is monotone in lng and y anti-monotone in lat, so
+    # its grid coords are (greatest of the x0s, least of the y-at-lat-min
+    # coords) — tiny integer comparisons in the join condition instead of
+    # the Morton interleave of cell_expr (see docstring step 3)
     cand = (
         ca.join(cb, "cell")
         .filter(
@@ -249,7 +325,10 @@ def polygon_intersection_join(
             & (F.col("a_lng_min") <= F.col("b_lng_max"))
             & (F.col("b_lng_min") <= F.col("a_lng_max"))
         )
-        .filter(cell_expr(lat_ref, lng_ref, res) == F.col("cell"))
+        .filter(
+            (F.col("cx") == F.greatest("__a_rx", "__b_rx"))
+            & (F.col("cy") == F.least("__a_ry", "__b_ry"))
+        )
     )
     if not exact:
         return cand.select(a_id, b_id)
@@ -261,26 +340,44 @@ def polygon_intersection_join(
         F.transform("__b_fp", lambda p: p["lat"]).alias("__blat"),
         F.transform("__b_fp", lambda p: p["lng"]).alias("__blng"),
     )
+    # refinement input inherits the cell join's skew (dense cells emit most
+    # candidate pairs); the kernel is row-independent, so rebalance on the
+    # pair hash before the Python stage — AQE sizes the shuffle output, the
+    # same shape as point_in_polygon_join's pre-refinement rebalance
+    sel = sel.repartition(F.xxhash64(F.col(a_id), F.col(b_id)))
     dtypes = dict(sel.dtypes)
     out_schema = f"{a_id} {dtypes[a_id]}, {b_id} {dtypes[b_id]}"
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from navgraph_osm_spark.functions.geo import polygons_intersect_np
+        from navgraph_osm_spark.functions.geo import polygons_intersect_pairwise_np
 
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 yield pdf[[a_id, b_id]]
                 continue
-            keep = np.fromiter(
-                (
-                    polygons_intersect_np(al, an, bl, bn)
-                    for al, an, bl, bn in zip(
-                        pdf["__alat"], pdf["__alng"], pdf["__blat"], pdf["__blng"]
-                    )
-                ),
-                dtype=bool,
-                count=len(pdf),
+            # batch pairs by vertex-count shape: one vectorized kernel call
+            # per (|A|, |B|) group instead of a Python dispatch per pair
+            na = np.fromiter((len(v) for v in pdf["__alat"]), np.int64, n)
+            nb = np.fromiter((len(v) for v in pdf["__blat"]), np.int64, n)
+            shape_key = na * (nb.max() + 1) + nb
+            order = np.argsort(shape_key, kind="stable")
+            skey = shape_key[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], skey[1:] != skey[:-1]))
             )
+            keep = np.zeros(n, dtype=bool)
+            bounds = np.append(starts, n)
+            alat = pdf["__alat"].to_numpy()
+            alng = pdf["__alng"].to_numpy()
+            blat = pdf["__blat"].to_numpy()
+            blng = pdf["__blng"].to_numpy()
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                idx = order[s:e]
+                keep[idx] = polygons_intersect_pairwise_np(
+                    np.stack(alat[idx]), np.stack(alng[idx]),
+                    np.stack(blat[idx]), np.stack(blng[idx]),
+                )
             yield pdf[keep][[a_id, b_id]]
 
     return sel.mapInPandas(_kernel, schema=out_schema)
@@ -575,7 +672,13 @@ def point_in_polygon_join(
     )
     poly_cols = [poly_id, fp] + ([rings] if has_rings else [])
     pts = assign_cells(points.select(point_id, lat, lng), res, lat, lng)
-    polys = covering_cells(polygons.select(*poly_cols), res, fp, keep_bbox=True)
+    # per-ring coverings when a rings column exists: separated multipolygon
+    # shells cover only their own cells (hole-in-outer rows are unchanged —
+    # the hole's cells are a subset of the outer covering)
+    polys = covering_cells(
+        polygons.select(*poly_cols), res, fp, keep_bbox=True,
+        rings=rings if has_rings else None,
+    )
     # rect detection evaluated on the (small) polygon-cell side, not per
     # candidate pair; a multi-ring footprint is never a plain rectangle
     polys = polys.withColumn(

@@ -100,7 +100,15 @@ def partition_dir_fingerprints(path: str, col: str) -> dict[str, str]:
     """Per-partition content fingerprints of a hive-partitioned parquet
     directory: ``{value: md5(relative file list + sizes)}`` for each
     ``<col>=<value>`` subdirectory.  Metadata-only (no Spark job) — the
-    unit of change detection for partition-level incremental resume."""
+    unit of change detection for partition-level incremental resume.
+
+    Keys are the UNESCAPED partition values (hive percent-encodes special
+    chars — space, ':', '=' — into directory names; Spark lineage rows and
+    ``F.col(col).cast("string")`` comparisons see the raw value, so the
+    escaped directory name must be decoded before any matching).  Null
+    partitions (``__HIVE_DEFAULT_PARTITION__``) are excluded — a null
+    partition value never round-trips through string matching, so such
+    partitions always fall back to full recompute."""
     out: dict[str, str] = {}
     prefix = f"{col}="
     if not os.path.isdir(path):
@@ -109,14 +117,25 @@ def partition_dir_fingerprints(path: str, col: str) -> dict[str, str]:
         full = os.path.join(path, d)
         if not (d.startswith(prefix) and os.path.isdir(full)):
             continue
+        value = _unescape_hive(d[len(prefix):])
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            continue
         entries = []
         for root, _dirs, files in os.walk(full):
             for f in files:
                 if f.endswith(".parquet"):
                     p = os.path.join(root, f)
                     entries.append((os.path.relpath(p, full), os.path.getsize(p)))
-        out[d[len(prefix):]] = _md5(json.dumps(sorted(entries)))
+        out[value] = _md5(json.dumps(sorted(entries)))
     return out
+
+
+def _unescape_hive(name: str) -> str:
+    """Decode a hive-escaped partition directory value (percent-encoding,
+    the scheme of Hive's ``FileUtils.escapePathName`` which Spark reuses)."""
+    from urllib.parse import unquote
+
+    return unquote(name)
 
 
 def table_metadata_rows(writer: TableWriter, name: str) -> int | None:
@@ -151,6 +170,9 @@ class Stage:
     # a hive-partitioned external input directory + its partition column
     incremental_path: str | None = None
     incremental_col: str | None = None
+    # partition-WISE chaining: output partition v derives only from the
+    # upstream stages' partition v (same column name in every dep table)
+    partition_wise: str | None = None
 
     def external_fprint(self) -> str | None:
         if self.external is None:
@@ -159,7 +181,9 @@ class Stage:
 
     @property
     def incremental(self) -> bool:
-        return self.incremental_path is not None and bool(self.partition_by)
+        return bool(self.partition_by) and (
+            self.incremental_path is not None or self.partition_wise is not None
+        )
 
 
 class StageRunner:
@@ -178,6 +202,7 @@ class StageRunner:
         external: str | Callable[[], str] | None = None,
         incremental_path: str | None = None,
         incremental_col: str | None = None,
+        partition_wise: str | None = None,
     ) -> None:
         """Register a stage.  ``external`` is a content fingerprint (or a
         thunk producing one) covering every input the stage function closes
@@ -196,10 +221,23 @@ class StageRunner:
         dynamically overwritten (untouched output partitions keep their
         files byte-for-byte).  Removed input partitions, or any other
         input/external change, fall back to a full recompute — the 100 TB
-        resume shape where a daily delta touches a handful of cells."""
+        resume shape where a daily delta touches a handful of cells.
+
+        ``partition_wise`` CHAINS incremental resume through multi-stage
+        pipelines: it declares that this stage is partition-wise over its
+        UPSTREAM STAGE inputs — output partition ``partition_by[0] == v``
+        derives only from rows with ``partition_wise == v`` in every
+        ``inputs`` table.  On resume, per-partition fingerprints of the
+        upstream OUTPUT tables (not an external path) drive the change
+        set, so when an upstream incremental run rewrote one partition,
+        this stage — and transitively every partition-wise stage below
+        it — recomputes exactly that partition.  The stage fn must accept
+        ``partition_values`` like the external-path mode.  Parquet tables
+        only (per-partition fingerprints come from hive directories);
+        any non-partition-shaped change falls back to full recompute."""
         self.stages.append(
             Stage(name, fn, inputs or [], partition_by, external,
-                  incremental_path, incremental_col)
+                  incremental_path, incremental_col, partition_wise)
         )
 
     def _lineage_path(self, name: str) -> str:
@@ -254,37 +292,44 @@ class StageRunner:
 
         for st in self.stages:
             ext = st.external_fprint()
-            inc_cur = (
-                partition_dir_fingerprints(st.incremental_path, st.incremental_col)
-                if st.incremental
-                else None
-            )
+            inc_cur = self._partition_state(st) if st.incremental else None
             if resume and self._valid(st.name, verify=verify):
                 lineage = self._lineage(st.name)
-                others_fresh = all(
+                ext_fresh = lineage.get("external_fprint") == ext
+                deps_fresh = all(
                     lineage.get("input_fprints", {}).get(dep) == _fprint(dep)
                     for dep in st.inputs
-                ) and lineage.get("external_fprint") == ext
-                if others_fresh:
-                    old_parts = lineage.get("input_partitions")
-                    if not st.incremental or old_parts == inc_cur:
-                        results[st.name] = self.writer.read(st.name)
-                        continue
-                    if (
-                        st.incremental
-                        and old_parts is not None
-                        and set(old_parts) <= set(inc_cur)  # no removed partitions
-                        and lineage.get("partitions") is not None
-                        and len(lineage["partitions"]) < 10000
-                    ):
-                        changed = sorted(
-                            v for v in inc_cur if old_parts.get(v) != inc_cur[v]
-                        )
-                        results[st.name] = self._run_incremental(
-                            st, results, lineage, changed, inc_cur, ext, _fprint
-                        )
-                        ran.append(f"{st.name}[{len(changed)} partitions]")
-                        continue
+                )
+                old_parts = lineage.get("input_partitions")
+                if ext_fresh and deps_fresh and (
+                    not st.incremental or old_parts == inc_cur
+                ):
+                    results[st.name] = self.writer.read(st.name)
+                    continue
+                # partition-wise chaining: upstream table fingerprints HAVE
+                # changed (that's the trigger), but if the change is fully
+                # partition-shaped, only the differing values recompute.
+                # External-path mode still requires fresh upstream tables.
+                if (
+                    st.incremental
+                    and ext_fresh
+                    and (deps_fresh or st.partition_wise is not None)
+                    and old_parts is not None
+                    and inc_cur
+                    and set(old_parts) <= set(inc_cur)  # no removed partitions
+                    and old_parts != inc_cur
+                    and lineage.get("partitions") is not None
+                    and len(lineage["partitions"]) < 10000
+                ):
+                    changed = sorted(
+                        v for v in inc_cur if old_parts.get(v) != inc_cur[v]
+                    )
+                    results[st.name] = self._run_incremental(
+                        st, results, lineage, changed, inc_cur, ext, _fprint
+                    )
+                    fprints[st.name] = table_fingerprint(self.writer, st.name)
+                    ran.append(f"{st.name}[{len(changed)} partitions]")
+                    continue
             t0 = time.time()
             deps = {k: results[k] for k in st.inputs}
             df = st.fn(deps, partition_values=None) if st.incremental else st.fn(deps)
@@ -323,6 +368,27 @@ class StageRunner:
         self.last_run_report = {"stages_run": ran}
         return results
 
+    def _partition_state(self, st: Stage) -> dict[str, str]:
+        """Current per-partition-value fingerprint map driving incremental
+        resume.  External-path mode fingerprints the declared hive input
+        directory; partition-wise mode fingerprints every upstream OUTPUT
+        table and combines them per value (a value changes when ANY dep's
+        partition changed).  Iceberg deps have no hive directories — the
+        empty map disables incremental and falls back to full recompute."""
+        if st.partition_wise is None:
+            return partition_dir_fingerprints(
+                st.incremental_path, st.incremental_col
+            )
+        if self.writer.use_iceberg or not st.inputs:
+            return {}
+        combined: dict[str, list[str]] = {}
+        for dep in st.inputs:
+            for v, fp in partition_dir_fingerprints(
+                self.writer.path(dep), st.partition_wise
+            ).items():
+                combined.setdefault(v, []).append(f"{dep}:{fp}")
+        return {v: _md5("|".join(parts)) for v, parts in combined.items()}
+
     def _run_incremental(
         self, st: Stage, results: dict, lineage: dict, changed: list[str],
         inc_cur: dict[str, str], ext: str | None, _fprint,
@@ -330,7 +396,14 @@ class StageRunner:
         """Recompute ONLY the changed input partitions of an incremental
         stage and dynamically overwrite their output partitions; lineage
         per-partition counts are merged, untouched partitions keep their
-        files byte-for-byte (asserted in tests/test_pipeline.py)."""
+        files byte-for-byte (asserted in tests/test_pipeline.py).
+
+        A changed input partition whose recompute yields ZERO output rows
+        has no partition in the written frame, so dynamic overwrite leaves
+        the old directory behind — those stale output partitions are
+        explicitly deleted (matched by unescaped value) before lineage is
+        merged, so emptied partitions disappear instead of silently
+        surviving with their old rows."""
         t0 = time.time()
         deps = {k: results[k] for k in st.inputs}
         df = st.fn(deps, partition_values=changed)
@@ -339,12 +412,18 @@ class StageRunner:
         pcol = st.partition_by[0]
         changed_set = set(changed)
         kept = [p for p in lineage["partitions"] if p[pcol] not in changed_set]
+        # count from the RECOMPUTED frame, not the written table: a changed
+        # partition that produced zero rows is absent from the table's
+        # changed-partition scan only after its stale directory is dropped
         new_counts = (
-            out.filter(F.col(pcol).cast("string").isin(changed))
+            df.filter(F.col(pcol).cast("string").isin(changed))
             .groupBy(pcol)
             .agg(F.count("*").alias("n"))
             .collect()
         )
+        stale = sorted(changed_set - {str(r[pcol]) for r in new_counts})
+        if stale:
+            out = self._drop_output_partitions(st.name, pcol, stale)
         parts = kept + [
             {pcol: str(r[pcol]), "rows": r["n"]} for r in new_counts
         ]
@@ -364,3 +443,32 @@ class StageRunner:
         with open(self._lineage_path(st.name), "w") as f:
             json.dump(new_lineage, f, indent=1)
         return out
+
+    def _drop_output_partitions(
+        self, name: str, pcol: str, values: list[str]
+    ) -> DataFrame:
+        """Delete the listed output partitions (by unescaped value) and
+        return a fresh reader — the emptied-partition half of dynamic
+        overwrite (see :meth:`_run_incremental`)."""
+        vset = set(values)
+        if self.writer.use_iceberg:
+            quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+            self.spark.sql(
+                f"DELETE FROM local.{name} "
+                f"WHERE CAST({pcol} AS STRING) IN ({quoted})"
+            )
+            return self.writer.read(name)
+        import shutil
+
+        target = self.writer.path(name)
+        prefix = f"{pcol}="
+        for d in os.listdir(target):
+            full = os.path.join(target, d)
+            if (
+                d.startswith(prefix)
+                and os.path.isdir(full)
+                and _unescape_hive(d[len(prefix):]) in vset
+            ):
+                shutil.rmtree(full)
+        self.spark.catalog.refreshByPath(target)
+        return self.writer.read(name)

@@ -424,6 +424,29 @@ def pbf_manifest(path: str) -> list[tuple[int, int, str]]:
     return out
 
 
+def _optional_codec(fnum: int):
+    """Decompressor for the optional lz4(6)/zstd(7) blob codecs.
+
+    Imported via :func:`importlib.import_module` with the full submodule
+    path — ``import lz4`` alone does NOT bind ``lz4.frame`` — so the codec
+    works whenever the package is installed and raises a clear install
+    hint otherwise.  Neither package ships in this sandbox; the wiring is
+    exercised by skip-if-unavailable tests (tests/test_pbf.py)."""
+    import importlib
+
+    pkg, modname = {6: ("lz4", "lz4.frame"), 7: ("zstandard", "zstandard")}[fnum]
+    try:
+        mod = importlib.import_module(modname)
+    except ImportError as e:
+        raise ValueError(
+            f"blob uses {pkg} compression; `pip install {pkg}` "
+            "to read this extract"
+        ) from e
+    if fnum == 6:  # pragma: no cover - optional codec
+        return mod.decompress
+    return mod.ZstdDecompressor().decompress  # pragma: no cover - optional codec
+
+
 def _decompress_blob(buf: bytes) -> bytes:
     """Blob message → PrimitiveBlock bytes.
 
@@ -455,18 +478,7 @@ def _decompress_blob(buf: bytes) -> bytes:
 
             payload, decomp = data, bz2.decompress
         elif fnum in (6, 7):
-            name = {6: "lz4", 7: "zstandard"}[fnum]
-            try:
-                mod = __import__(name)
-            except ImportError as e:  # pragma: no cover - optional codec
-                raise ValueError(
-                    f"blob uses {name} compression; `pip install {name}` "
-                    "to read this extract"
-                ) from e
-            if fnum == 6:  # pragma: no cover - optional codec
-                payload, decomp = data, lambda d: mod.frame.decompress(d)
-            else:  # pragma: no cover - optional codec
-                payload, decomp = data, mod.ZstdDecompressor().decompress
+            payload, decomp = data, _optional_codec(fnum)
     if payload is not None:
         out = decomp(payload)
         if raw_size and len(out) != raw_size:
@@ -1468,5 +1480,9 @@ def load_osm_tables(
         for s in scans[1:]:
             union = union.unionByName(s)
         union.write.mode("overwrite").partitionBy("entity").parquet(stage)
-    staged = spark.read.parquet(stage)
+    # explicit schema: a stage whose every blob decoded to ZERO entities has
+    # only _SUCCESS (no data files, no partition dirs) — inference would
+    # fail with 'Unable to infer schema'; the declared schema returns empty
+    # typed frames instead (partition column values still come from paths)
+    staged = spark.read.schema(UNION_SCHEMA).parquet(stage)
     return {e: _entity_view(staged, e) for e in entities}

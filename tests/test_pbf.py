@@ -437,6 +437,53 @@ def test_lzma_and_bzip2_blobs_decode(spark, tmp_path):
         assert got == {5: (pytest.approx(4e-7), pytest.approx(3e-7))}, fnum
 
 
+def test_lz4_zstd_codec_wiring(spark, tmp_path):
+    """fileformat.proto's optional lz4(6)/zstd(7) codecs: when the module
+    is installed the blob decodes through ``importlib.import_module`` of
+    the full submodule path (``lz4.frame``, not the bare package); when it
+    is absent the error is a clear install hint naming the package."""
+    import importlib
+
+    dense = bytes([0x0A, 0x01, 0x0A] + [0x42, 0x01, 0x08] + [0x4A, 0x01, 0x06])
+    group = bytes([0x12, len(dense)]) + dense
+    strtab = bytes([0x0A, 0x00])
+    block = bytes([0x0A, len(strtab)]) + strtab + bytes([0x12, len(group)]) + group
+    for fnum, modname, pkg in ((6, "lz4.frame", "lz4"), (7, "zstandard", "zstandard")):
+        try:
+            mod = importlib.import_module(modname)
+        except ImportError:
+            mod = None
+        if mod is None:
+            blob = pbf._enc_bytes_field(fnum, b"\x00")
+            with pytest.raises(ValueError, match=pkg):
+                pbf._decompress_blob(blob)
+            continue
+        comp = mod.compress if fnum == 6 else mod.ZstdCompressor().compress
+        blob = bytes([0x10, len(block)]) + pbf._enc_bytes_field(fnum, comp(block))
+        header = bytes([0x0A, 0x07]) + b"OSMData" + pbf._enc_varint_field(3, len(blob))
+        path = tmp_path / f"c{fnum}.osm.pbf"
+        path.write_bytes(struct.pack(">I", len(header)) + header + blob)
+        got = {r["id"]: (r["lat"], r["lng"]) for r in
+               pbf.scan_pbf(spark, str(path), "nodes").collect()}
+        assert got == {5: (pytest.approx(4e-7), pytest.approx(3e-7))}, fnum
+
+
+def test_all_blobs_empty_stage_returns_typed_frames(spark, tmp_path):
+    """An extract whose OSMData blobs decode to ZERO entities stages a
+    parquet directory with no data files — the explicit UNION_SCHEMA read
+    must return empty typed frames instead of failing schema inference."""
+    strtab = bytes([0x0A, 0x00])
+    block = bytes([0x0A, len(strtab)]) + strtab  # stringtable only, no groups
+    blob = pbf._enc_bytes_field(1, block)  # raw (f1)
+    header = bytes([0x0A, 0x07]) + b"OSMData" + pbf._enc_varint_field(3, len(blob))
+    path = tmp_path / "hollow.osm.pbf"
+    path.write_bytes(struct.pack(">I", len(header)) + header + blob)
+    t = pbf.load_osm_tables(spark, str(path), stage_dir=str(tmp_path / "st"))
+    for e, df in t.items():
+        assert df.count() == 0, e
+        assert len(df.columns) >= 2, e
+
+
 def test_load_osm_tables_multi_file(spark, tmp_path):
     """A LIST of extracts loads through one staged decode job: entities
     from every file land in the same tables; editing ONE file re-stages."""

@@ -689,6 +689,106 @@ def test_polygon_intersection_join_vs_duckdb_oracle(spark):
     assert want, "fixture must produce intersecting pairs"
 
 
+def test_per_ring_covering_tightens_separated_shells(spark):
+    """A two-shell multipolygon whose shells sit a continent apart must
+    cover only each shell's own cells — the former union-bbox covering
+    flooded the whole span — and the PIP join over it stays exact: points
+    in either shell match, points in the (huge) gap do not, pairs unique."""
+    rows = [{
+        "poly_id": 1,
+        "footprint": [
+            # shell 1: 1°×1° at (10, 0)
+            {"lat": 10.0, "lng": 0.0}, {"lat": 10.0, "lng": 1.0},
+            {"lat": 11.0, "lng": 1.0}, {"lat": 11.0, "lng": 0.0},
+            # shell 2: 1°×1° at (10, 90)
+            {"lat": 10.0, "lng": 90.0}, {"lat": 10.0, "lng": 91.0},
+            {"lat": 11.0, "lng": 91.0}, {"lat": 11.0, "lng": 90.0},
+        ],
+        "ring_offsets": [0, 4],
+    }]
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>, "
+        "ring_offsets array<int>",
+    )
+    res = 6  # 64x64 grid, ~2.8 deg cells
+    per_ring = covering_cells(polys, res, rings="ring_offsets")
+    n_per_ring = per_ring.count()
+    n_union = covering_cells(polys.drop("ring_offsets"), res).count()
+    assert n_per_ring <= 4, n_per_ring  # ≤2 cells per tiny shell
+    assert n_union >= 15, n_union  # the union bbox floods the 90° span
+    # distinct by construction
+    assert per_ring.select("cell").distinct().count() == n_per_ring
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({
+            "point_id": [1, 2, 3],
+            "lat": [10.5, 10.5, 10.5],
+            "lng": [0.5, 90.5, 45.0],  # shell 1, shell 2, the gap
+        })
+    )
+    pairs = [
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(pts, polys, res=res).collect()
+    ]
+    assert sorted(pairs) == [(1, 1), (2, 1)]
+
+
+def test_polygons_intersect_large_pair_bounded():
+    """A 50k×50k-vertex polygon pair must complete in bounded memory (the
+    former full |A|·|B| orientation broadcast would allocate 4×2.5G
+    doubles) and in bounded time via the bbox edge prefilter + tiling —
+    disjoint, containment-overlap and crossing-only cases."""
+    import time
+
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np
+
+    def star(clat, clng, n, r0=1.0, r1=2.0):
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        r = np.where(np.arange(n) % 2 == 0, r0, r1)
+        return clat + r * np.sin(ang), clng + r * np.cos(ang)
+
+    a = star(0, 0, 50_000)
+    t0 = time.time()
+    assert not polygons_intersect_np(*a, *star(0, 50, 50_000))  # disjoint
+    assert polygons_intersect_np(*a, *star(0.3, 0.3, 50_000))  # overlap
+    assert polygons_intersect_np(*a, *star(0, 3.0, 50_000, 1.9, 2.0))  # crossing
+    assert time.time() - t0 < 60.0
+
+
+def test_polygons_intersect_pairwise_matches_per_pair():
+    """The shape-batched pairwise kernel (the overlay join's refinement)
+    must agree with the per-pair kernel on every random pair, open and
+    closed rings alike."""
+    from navgraph_osm_spark.functions.geo import (
+        polygons_intersect_np,
+        polygons_intersect_pairwise_np,
+    )
+
+    rng = np.random.default_rng(7)
+    for na, nb in ((3, 3), (4, 5), (6, 3)):
+        m = 200
+
+        def mk(n):
+            clat = rng.uniform(-60, 60, (m, 1))
+            clng = rng.uniform(-120, 120, (m, 1))
+            r = rng.uniform(0.5, 8, (m, 1))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, (m, n)), axis=1)
+            return clat + r * np.sin(ang), clng + r * np.cos(ang)
+
+        al, an = mk(na)
+        bl, bn = mk(nb)
+        got = polygons_intersect_pairwise_np(al, an, bl, bn)
+        want = np.array(
+            [polygons_intersect_np(al[i], an[i], bl[i], bn[i]) for i in range(m)]
+        )
+        assert (got == want).all(), (na, nb)
+    # explicitly closed ring (first == last) agrees with the open form
+    cl = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]]), np.array([[0.0, 2.0, 2.0, 0.0, 0.0]])
+    op = np.array([[1.0, 1.0, 3.0, 3.0]]), np.array([[1.0, 3.0, 3.0, 1.0]])
+    assert polygons_intersect_pairwise_np(cl[0], cl[1], op[0], op[1])[0]
+
+
 def test_compact_uncompact_cells(spark):
     """H3-style compact/uncompact over the Morton hierarchy: compaction is
     minimal (no four siblings survive), the uncompact round-trip restores
