@@ -820,17 +820,15 @@ def _derived_restrictions(edges: DataFrame) -> DataFrame:
 
 _RES_XY = 6  # 64×64 xy grid for SQL-checkable cell ids
 
-
-@_register(
-    "sp_cell_assign",
-    f"WITH pts AS ({POINTS_SQL}) SELECT point_id, "
-    f"{cell_xy_sql('lat', 'lng', _RES_XY)} AS cell FROM pts",
-)
-def sp_cell_assign(spark, sf_dir):
-    pts = points_df(spark, sf_dir)
-    return pts.select(
-        "point_id", cell_xy_expr(F.col("lat"), F.col("lng"), _RES_XY).alias("cell")
-    )
+# NOTE (round 5): the former ``sp_cell_assign`` registry slot was swapped
+# out for ``sp_overlay_join`` (the registry is capped at the driver's
+# 50-record limit).  Its coverage is fully subsumed: the identical
+# cell-assignment expression is the GROUP BY key of ``sp_cell_histogram``
+# and ``sp_cell_stats_grouped`` (both oracled), and the HEALPix variant
+# has its own slot (``sp_healpix_assign``).  Likewise ``sp_knn`` was
+# swapped for ``sp_distance_join``: ``sp_knn_adaptive`` exercises the same
+# ring-kNN kernel (round 1 of the adaptive loop IS knn_join) on the same
+# 205-row result with the same oracle SQL shape.  See COVERAGE.md.
 
 
 @_register(
@@ -1017,32 +1015,126 @@ def sp_cell_stats_grouped(spark, sf_dir):
     )
 
 
+def cust_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second point set (from customer) for the range join — same modular
+    derivation discipline as :func:`points_df`, different multipliers."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    return c.select(
+        k.alias("cust_id"),
+        (((k * 31337) % 170000) / 1000.0 - 85.0).alias("lat"),
+        (((k * 54323) % 360000) / 1000.0 - 180.0).alias("lng"),
+    )
+
+
+CUST_POINTS_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS cust_id, "
+    "((CAST(c_custkey AS BIGINT) * 31337) % 170000) / 1000.0 - 85.0 AS lat, "
+    "((CAST(c_custkey AS BIGINT) * 54323) % 360000) / 1000.0 - 180.0 AS lng "
+    "FROM customer"
+)
+
+_DIST_RADIUS_KM = 150.0
+
+
 @_register(
-    "sp_knn",
+    "sp_distance_join",
     f"""
-    WITH pts AS ({POINTS_SQL}),
-    q AS (SELECT point_id AS query_id, lat AS q_lat, lng AS q_lng FROM pts
-          WHERE point_id <= 40),
-    scored AS (
-      SELECT q.query_id, p.point_id,
-             {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} AS d,
-             row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {haversine_sql('q.q_lat', 'q.q_lng', 'p.lat', 'p.lng')} ASC,
-                        p.point_id ASC) AS rank
-      FROM q CROSS JOIN pts p)
-    SELECT query_id, point_id, ROUND(d, 6) AS dist_km, CAST(rank AS INT) AS rank
-    FROM scored WHERE rank <= 5
+    WITH pts AS ({POINTS_SQL}), cust AS ({CUST_POINTS_SQL})
+    SELECT p.point_id AS left_id, c.cust_id AS right_id,
+           ROUND({haversine_sql('p.lat', 'p.lng', 'c.lat', 'c.lng')}, 6) AS dist_km
+    FROM pts p, cust c
+    WHERE {haversine_sql('p.lat', 'p.lng', 'c.lat', 'c.lng')} <= {_DIST_RADIUS_KM}
     """,
 )
-def sp_knn(spark, sf_dir):
-    pts = points_df(spark, sf_dir)
-    q = pts.filter(F.col("point_id") <= 40).select(
-        F.col("point_id").alias("query_id"), "lat", "lng"
+def sp_distance_join(spark, sf_dir):
+    """Range (within-distance) join — the third classic spatial join next
+    to PIP and kNN (operators/knn.py distance_join): all (part-point,
+    customer-point) pairs within 150 km, via ONE cell equi join with a
+    poleward-safe grid-disk explode on the right side; the oracle is the
+    exhaustive cross-join filter with the identical haversine text."""
+    pts = points_df(spark, sf_dir).select(
+        F.col("point_id").alias("left_id"), "lat", "lng"
     )
-    out = knn_ops.knn_join(pts, q, k=5, res=3, ring=7, point_id="point_id")
+    cust = cust_points_df(spark, sf_dir).select(
+        F.col("cust_id").alias("right_id"), "lat", "lng"
+    )
+    out = knn_ops.distance_join(
+        pts, cust, _DIST_RADIUS_KM, res=6, max_abs_lat=85.0
+    )
     return out.select(
-        "query_id", "point_id", F.round("dist_km", 6).alias("dist_km"), "rank"
+        "left_id", "right_id", F.round("dist_km", 6).alias("dist_km")
     )
+
+
+# DuckDB edge-table text for the overlay oracle: vertices of ``{src}``
+# (pid, seq, lat, lng) → closed edge list (pid, y1, x1, y2, x2)
+_EDGES_SQL = """
+    SELECT pid, y1, x1, COALESCE(y2n, y0) AS y2, COALESCE(x2n, x0) AS x2 FROM (
+      SELECT pid, lat AS y1, lng AS x1,
+             LEAD(lat) OVER w AS y2n, LEAD(lng) OVER w AS x2n,
+             FIRST_VALUE(lat) OVER w AS y0, FIRST_VALUE(lng) OVER w AS x0
+      FROM {src} WINDOW w AS (PARTITION BY pid ORDER BY seq
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+"""
+
+# even-odd vertex containment of ``{v}`` vertices in ``{e}`` polygons —
+# the kernel's EXACT crossing expression (functions/geo.py
+# points_in_polygon_np), summed per (vertex, polygon), parity per pair
+_VERT_IN_SQL = """
+    SELECT DISTINCT v.pid AS vp, e.pid AS ep FROM {v} v, {e} e
+    GROUP BY v.pid, e.pid, v.lat, v.lng
+    HAVING SUM(CASE WHEN (e.y1 > v.lat) <> (e.y2 > v.lat)
+                     AND v.lng < e.x1 + (v.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+               THEN 1 ELSE 0 END) % 2 = 1
+"""
+
+
+@_register(
+    "sp_overlay_join",
+    f"""
+    WITH boxes AS ({BOXES_SQL}),
+    av AS (
+      SELECT box_id AS pid, 0 AS seq, lat0 AS lat, lng0 AS lng FROM boxes
+      UNION ALL SELECT box_id, 1, lat0, lng1 FROM boxes
+      UNION ALL SELECT box_id, 2, lat1, lng1 FROM boxes
+      UNION ALL SELECT box_id, 3, lat1, lng0 FROM boxes),
+    bv AS (
+      SELECT box_id + 1000000 AS pid, 0 AS seq, lat0 AS lat, lng0 AS lng FROM boxes
+      UNION ALL SELECT box_id + 1000000, 1, lat0, lng1 FROM boxes
+      UNION ALL SELECT box_id + 1000000, 2, lat1, lng0 FROM boxes),
+    ea AS ({_EDGES_SQL.format(src='av')}),
+    eb AS ({_EDGES_SQL.format(src='bv')}),
+    in_b AS ({_VERT_IN_SQL.format(v='av', e='eb')}),
+    in_a AS ({_VERT_IN_SQL.format(v='bv', e='ea')}),
+    crossing AS (
+      SELECT DISTINCT a.pid AS a_id, b.pid AS b_id FROM ea a, eb b
+      WHERE ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+          * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+        AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+          * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0)
+    SELECT vp AS a_id, ep AS b_id FROM in_b
+    UNION SELECT ep AS a_id, vp AS b_id FROM in_a
+    UNION SELECT a_id, b_id FROM crossing
+    """,
+)
+def sp_overlay_join(spark, sf_dir):
+    """Polygon ⋈ polygon OVERLAY join (operators/spatial_join.py
+    polygon_intersection_join): supplier rectangles vs the planted right
+    triangles (ids +1e6) — rect×triangle pairs exercise vertex
+    containment, proper edge crossings AND the degenerate shared-vertex
+    identity pairs (triangle i is cut from box i's corners).  The DuckDB
+    oracle recomputes the full geometry from raw vertex CTEs with the
+    kernel's exact even-odd and orientation-product expressions, so the
+    driver hash covers candidate generation, the dedup-free
+    responsibility cell and the pairwise refinement kernel."""
+    from navgraph_osm_spark.operators.spatial_join import (
+        polygon_intersection_join,
+    )
+
+    A = boxes_as_polygons(spark, sf_dir).withColumnRenamed("box_id", "a_id")
+    B = triangles_as_polygons(spark, sf_dir).withColumnRenamed("box_id", "b_id")
+    return polygon_intersection_join(A, B, res=5, a_id="a_id", b_id="b_id")
 
 
 @_register(
