@@ -122,12 +122,20 @@ def _calibrate(spark) -> float:
     return round(min(times), 3)
 
 
-def run_ingest(cpus: int, scale: int = 1) -> dict:
+def run_ingest(cpus: int, scale: int = 1, profile: str = "default") -> dict:
     """PBF ingestion A/B (round-4 single-pass work): reference-style
     per-message parse vs vectorized flat parse on the same blobs, and
     5-scan multi-pass load vs single-pass staged load of all five entity
     tables from one multi-entity file.  ``scale`` multiplies the fixture
-    (scale=1 → ~31 blobs; use ≥4 to fill 32 cores)."""
+    (scale=1 → ~31 blobs; use ≥4 to fill 32 cores).
+
+    ``profile="heavy"`` builds a COMPRESSION-HEAVY fixture (round-5 item):
+    clustered delta-friendly coordinates, one shared tag dict on every
+    node, sequential way refs — real planet extracts look like this
+    (zlib ~2-4× on PBF blobs; the default profile's random coords barely
+    compress).  Decoded-bytes / file-bytes is reported as
+    ``decode_ratio`` so the multi-vs-single-pass trade can be read
+    against how decode-bound the input actually is."""
     import shutil
     import tempfile
 
@@ -138,14 +146,28 @@ def run_ingest(cpus: int, scale: int = 1) -> dict:
     rng = np.random.default_rng(3)
     n_nodes, n_ways, n_rels = 200_000 * scale, 40_000 * scale, 2_000 * scale
     ids = np.arange(1, n_nodes + 1, dtype=np.int64)
-    lats = rng.integers(-80_000_000, 80_000_000, n_nodes) / 1e7
-    lngs = rng.integers(-179_000_000, 179_000_000, n_nodes) / 1e7
-    ntags = [({"name": f"n{i}"} if i % 20 == 0 else None) for i in range(n_nodes)]
-    ways = [
-        (w + 1, {"highway": "residential", "oneway": "yes" if w % 3 else "no"},
-         np.sort(rng.choice(ids, 8)))
-        for w in range(n_ways)
-    ]
+    if profile == "heavy":
+        # city-block grid: tiny coordinate deltas, highly zlib-compressible
+        side = int(np.sqrt(n_nodes)) + 1
+        gx, gy = np.meshgrid(np.arange(side), np.arange(side))
+        lats = (48.0 + gy.ravel()[:n_nodes] * 1e-5).round(7)
+        lngs = (2.0 + gx.ravel()[:n_nodes] * 1e-5).round(7)
+        shared = {"source": "import", "amenity": "bench"}
+        ntags = [shared if i % 2 == 0 else None for i in range(n_nodes)]
+        ways = [
+            (w + 1, {"highway": "residential", "oneway": "no"},
+             np.arange(w * 4 + 1, w * 4 + 9, dtype=np.int64) % n_nodes + 1)
+            for w in range(n_ways)
+        ]
+    else:
+        lats = rng.integers(-80_000_000, 80_000_000, n_nodes) / 1e7
+        lngs = rng.integers(-179_000_000, 179_000_000, n_nodes) / 1e7
+        ntags = [({"name": f"n{i}"} if i % 20 == 0 else None) for i in range(n_nodes)]
+        ways = [
+            (w + 1, {"highway": "residential", "oneway": "yes" if w % 3 else "no"},
+             np.sort(rng.choice(ids, 8)))
+            for w in range(n_ways)
+        ]
     rels = [
         (r + 1, {"type": "restriction"},
          [("way", r + 1, "from"), ("node", int(ids[r]), "via"),
@@ -163,6 +185,7 @@ def run_ingest(cpus: int, scale: int = 1) -> dict:
             if ty == "OSMData":
                 f.seek(off)
                 blobs.append(pbf._decompress_blob(f.read(ln)))
+    decode_ratio = round(sum(len(b) for b in blobs) / (file_mb * 1e6), 2)
     t0 = time.time()
     for b in blobs:
         pbf.parse_primitive_block_ref(b)
@@ -197,7 +220,9 @@ def run_ingest(cpus: int, scale: int = 1) -> dict:
     shutil.rmtree(tmp, ignore_errors=True)
     return {
         "metric": "pbf_ingest",
+        "profile": profile,
         "file_mb": file_mb,
+        "decode_ratio": decode_ratio,
         "blobs": len(blobs),
         "parse_ref_s": round(ref_s, 3),
         "parse_flat_s": round(flat_s, 3),
@@ -520,6 +545,8 @@ def main() -> None:
     ap.add_argument("--ingest", action="store_true")
     ap.add_argument("--turns", action="store_true")
     ap.add_argument("--ingest-scale", type=int, default=1)
+    ap.add_argument("--ingest-profile", default="default",
+                    choices=["default", "heavy"])
     ap.add_argument("--job-once", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--small", type=int, default=2)
@@ -531,7 +558,8 @@ def main() -> None:
     if args.job_once:
         print(json.dumps(run_job_once(args.cpus, args.images)))
     elif args.ingest:
-        print(json.dumps(run_ingest(args.cpus, scale=args.ingest_scale)))
+        print(json.dumps(run_ingest(args.cpus, scale=args.ingest_scale,
+                                    profile=args.ingest_profile)))
     elif args.turns:
         print(json.dumps(run_turns_bench(args.sf_dir, args.cpus)))
     elif args.scaling:

@@ -629,8 +629,14 @@ def point_in_polygon_join(
     exact: bool = True,
     broadcast_polys: bool | None = None,
     rings: str = "ring_offsets",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Points ⋈ polygons containment join.
+
+    ``carry`` lists extra POINT-side columns passed through to the output
+    (e.g. an event timestamp for the streaming geofence aggregation) —
+    they ride along both the codegen rectangle path and the refinement
+    kernel without affecting the join logic.
 
     Multi-ring polygons (holes / OSM multipolygon shells): when the
     polygon table carries a ``rings`` column (``array<int>`` of ring start
@@ -671,7 +677,7 @@ def point_in_polygon_join(
         else F.lit(True)
     )
     poly_cols = [poly_id, fp] + ([rings] if has_rings else [])
-    pts = assign_cells(points.select(point_id, lat, lng), res, lat, lng)
+    pts = assign_cells(points.select(point_id, lat, lng, *carry), res, lat, lng)
     # per-ring coverings when a rings column exists: separated multipolygon
     # shells cover only their own cells (hole-in-outer rows are unchanged —
     # the hole's cells are a subset of the outer covering)
@@ -697,8 +703,8 @@ def point_in_polygon_join(
         & (F.col(lng) < F.col("lng_max"))
     )
     if not exact:
-        return cand.select(point_id, poly_id)
-    rect_hits = cand.filter(F.col("__rect")).select(point_id, poly_id)
+        return cand.select(point_id, poly_id, *carry)
+    rect_hits = cand.filter(F.col("__rect")).select(point_id, poly_id, *carry)
     rest = cand.filter(~F.col("__rect"))
 
     n_nonrect = None
@@ -750,6 +756,7 @@ def point_in_polygon_join(
     rest_cols = [
         F.col(point_id),
         F.col(poly_id),
+        *[F.col(c) for c in carry],
         F.col(lat).alias("__plat"),
         F.col(lng).alias("__plng"),
     ]
@@ -774,7 +781,9 @@ def point_in_polygon_join(
         F.pmod(F.xxhash64(point_id), F.lit(16)),
     )
     dtypes = dict(rest.dtypes)
-    out_schema = f"{point_id} {dtypes[point_id]}, {poly_id} {dtypes[poly_id]}"
+    out_schema = ", ".join(
+        f"{c} {dtypes[c]}" for c in (point_id, poly_id, *carry)
+    )
     if broadcast_polys:
         # only NON-rect polygons can reach the refinement kernel — their
         # vertices came back with the probe when one ran; a caller-forced
@@ -800,8 +809,10 @@ def point_in_polygon_join(
                 )
                 for r in nonrect.select(*poly_cols).collect()
             }
-        kernel = _refine_kernel_broadcast([point_id, poly_id], sc.broadcast(poly_map))
+        kernel = _refine_kernel_broadcast(
+            [point_id, poly_id, *carry], sc.broadcast(poly_map)
+        )
     else:
-        kernel = _refine_kernel([point_id, poly_id], has_rings=has_rings)
+        kernel = _refine_kernel([point_id, poly_id, *carry], has_rings=has_rings)
     refined = rest.mapInPandas(kernel, schema=out_schema)
     return rect_hits.unionByName(refined)

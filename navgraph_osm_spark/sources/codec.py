@@ -275,12 +275,28 @@ def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def external_decoder_stub(data: bytes, fmt: str) -> np.ndarray:
-    """Placeholder for a real libjpeg/libpng decoder (libs absent in container).
+    """Real JPEG/PNG decoder seam: auto-upgrades to Pillow when installed.
 
-    The engine's decode path calls :func:`decode_image`; this stub marks where
-    a production build would dispatch to Pillow/turbojpeg.
+    The engine's decode path calls :func:`decode_image` (the deterministic
+    NGI1 codec); THIS function is where production formats dispatch.  The
+    integration is dormant-but-wired: when ``PIL`` is importable the bytes
+    decode through ``Image.open`` into an (H, W, 3) uint8 array (the same
+    shape contract as :func:`decode_image`), exercised by a skip-marked
+    PSNR test (tests/test_images.py) that activates the moment Pillow
+    lands in the environment.  Without Pillow it raises naming the
+    missing dependency.
     """
-    raise NotImplementedError(
-        "real JPEG/PNG decoding requires Pillow/libjpeg, not present in this "
-        "environment; the deterministic NGI1 codec stands in (see module docstring)"
-    )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real JPEG/PNG decoding requires Pillow (pip install Pillow); "
+            "not present in this environment — the deterministic NGI1 codec "
+            "stands in (see module docstring)"
+        ) from e
+    img = Image.open(io.BytesIO(data))
+    if fmt and img.format and img.format.lower() != fmt.lower():
+        raise ValueError(f"expected {fmt}, got {img.format}")
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)

@@ -107,9 +107,52 @@ def test_fused_gen_decode_stats(spark):
     assert stats["phash_ok"].all()
 
 
+def _pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_external_decoder_stub():
-    with pytest.raises(NotImplementedError):
+    """Without Pillow the seam raises naming the dependency (this is the
+    live branch in this container); with Pillow the companion PSNR test
+    below activates instead."""
+    if _pillow_available():
+        pytest.skip("Pillow installed — the real-decode PSNR test covers the seam")
+    with pytest.raises(NotImplementedError, match="Pillow"):
         codec.external_decoder_stub(b"xx", "jpeg")
+
+
+@pytest.mark.skipif(
+    not _pillow_available(),
+    reason="Pillow not installed in this environment (pip install Pillow)",
+)
+def test_external_decoder_real_formats_psnr():
+    """Dormant-but-wired real-codec integration: the moment Pillow lands,
+    PNG must round-trip exactly and JPEG at quality 90 must reach
+    PSNR ≥ 40 dB against the source array through the seam."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from navgraph_osm_spark.sources.synth import _pixels_for
+
+    arr = _pixels_for(7, 64, 48, 42)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    got = codec.external_decoder_stub(buf.getvalue(), "png")
+    assert got.shape == arr.shape and (got == arr).all()
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    got = codec.external_decoder_stub(buf.getvalue(), "jpeg")
+    mse = float(((got.astype(np.float64) - arr.astype(np.float64)) ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 40.0, psnr
 
 
 def test_phash_batch_bit_identical():

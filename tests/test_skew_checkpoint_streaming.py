@@ -275,6 +275,84 @@ def test_streaming_stateful_running_stats(spark, events_dir):
     assert np.allclose(got["max_value"], want["max_value"])
 
 
+def test_streaming_geofence_matches_batch(spark, tmp_path_factory):
+    """Stream-static geofencing: the streaming PIP join over a file-source
+    point stream must produce exactly the batch point_in_polygon_join
+    pairs (rect zones via codegen AND a triangle zone via the broadcast
+    refinement kernel), and the windowed per-zone counts must sum to the
+    matched row count."""
+    from navgraph_osm_spark.operators.spatial_join import point_in_polygon_join
+    from navgraph_osm_spark.streaming.events import run_to_memory
+    from navgraph_osm_spark.streaming.spatial import (
+        geofence_window_counts,
+        streaming_geofence_join,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    pdf = pd.DataFrame({
+        "point_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        "lat": rng.uniform(48.0, 49.5, n),
+        "lng": rng.uniform(1.5, 3.5, n),
+    })
+    d = tmp_path_factory.mktemp("geo_stream")
+    # several files → several micro-batches
+    for i in range(4):
+        spark.createDataFrame(pdf.iloc[i * 500:(i + 1) * 500]).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"chunk{i}"))
+    import shutil
+
+    for i in range(4):
+        src = [f for f in os.listdir(d / f"chunk{i}") if f.endswith(".parquet")]
+        for j, f in enumerate(src):
+            shutil.copy(d / f"chunk{i}" / f, d / f"part-{i}-{j}.parquet")
+        shutil.rmtree(d / f"chunk{i}")
+
+    zones = spark.createDataFrame(
+        pd.DataFrame([
+            {"poly_id": 1, "footprint": [  # rect zone (codegen path)
+                {"lat": 48.2, "lng": 1.8}, {"lat": 48.2, "lng": 2.6},
+                {"lat": 48.9, "lng": 2.6}, {"lat": 48.9, "lng": 1.8}]},
+            {"poly_id": 2, "footprint": [  # triangle zone (kernel path)
+                {"lat": 48.9, "lng": 2.0}, {"lat": 49.4, "lng": 3.4},
+                {"lat": 48.9, "lng": 3.4}]},
+        ]),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+
+    batch_pts = spark.read.parquet(str(d))
+    want = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(batch_pts, zones, res=8).collect()
+    }
+    assert want, "fixture must produce matches"
+    assert {p for _, p in want} == {1, 2}, "both zone kinds must match"
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("point_id long, ts timestamp, lat double, lng double")
+        .option("maxFilesPerTrigger", 2)
+        .load(str(d))
+    )
+    matched = streaming_geofence_join(stream, zones, res=8)
+    run_to_memory(matched, "geofence_out", mode="append")
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in spark.sql("SELECT * FROM geofence_out").collect()
+    }
+    assert got == want
+
+    counts = geofence_window_counts(matched, "15 minutes", "1 hour")
+    run_to_memory(counts, "geofence_counts_out", mode="complete")
+    total = spark.sql(
+        "SELECT sum(n_points) AS t FROM geofence_counts_out"
+    ).first()["t"]
+    assert total == len(want)
+
+
 def test_streaming_session_windows(spark, events_dir):
     from navgraph_osm_spark.streaming.events import read_events_stream, run_to_memory, session_windows
 
