@@ -270,12 +270,18 @@ def cell_bounds_expr(cell: Column, res: int) -> tuple[Column, Column, Column, Co
     return lat_min, lat_max, lng_min, lng_max
 
 
-def grid_disk_expr(cell_x: Column, cell_y: Column, res: int, k: int) -> Column:
+def grid_disk_expr(
+    cell_x: Column, cell_y: Column, res: int, k: int | Column
+) -> Column:
     """Array of (x, y) neighbor structs within Chebyshev distance k.
 
     Meant to be exploded: ``F.explode(grid_disk_expr(...))``.  Longitude
     wraps; latitude clamps (out-of-range rows are filtered).
     Pure column expressions (sequence + transform + filter + flatten).
+
+    ``k`` may be a COLUMN for per-row disk sizing (distance_join sizes
+    each row's disk from its own latitude — equatorial rows get ring 1,
+    only poleward rows pay wide disks).
 
     The result is DISTINCT per disk (array_distinct, per-row — no shuffle):
     when ``2k+1 > 2^res`` the longitude wrap revisits cells, and downstream
@@ -283,12 +289,12 @@ def grid_disk_expr(cell_x: Column, cell_y: Column, res: int, k: int) -> Column:
     emit unique candidate pairs without a dedup shuffle.
     """
     n = 1 << res
-    dx = F.sequence(F.lit(-k), F.lit(k))
+    kc = F.lit(k) if isinstance(k, int) else k.cast("long")
     pairs = F.flatten(
         F.transform(
-            dx,
+            F.sequence(-kc, kc),
             lambda i: F.transform(
-                F.sequence(F.lit(-k), F.lit(k)),
+                F.sequence(-kc, kc),
                 lambda j: F.struct(
                     F.pmod(cell_x + i, F.lit(n)).alias("x"),
                     (cell_y + j).alias("y"),

@@ -203,6 +203,7 @@ def distance_join(
     left_id: str = "left_id",
     right_id: str = "right_id",
     max_abs_lat: float | None = None,
+    adaptive_ring: bool = True,
 ) -> DataFrame:
     """Within-distance (range) join: every (left, right) pair with
     haversine distance ≤ ``radius_km`` — the third classic spatial join
@@ -215,29 +216,59 @@ def distance_join(
     by construction (a left row is in exactly one cell; a right row's disk
     contains each cell at most once) — no dedup shuffle.
 
-    Coverage guarantee: ring = :func:`min_ring_for_radius` at the most
-    POLEWARD latitude either side reaches, +1 for the cell-boundary
-    straddle (two points < one cell extent apart can still sit in adjacent
-    cells).  ``max_abs_lat=None`` computes that latitude with one tiny agg
-    job; pass it explicitly to keep the plan fully lazy.  The ring is
-    capped at 2^res (full longitude wrap — polar data at coarse radius
-    degenerates to a full scan, inherent to any lat/lng grid method; use a
-    finer ``res`` or an equal-area index there).
+    Ring sizing (``adaptive_ring=True``, the default): PER ROW, from the
+    row's own latitude — the lat component needs ``ceil(r / cell_h)``
+    cells everywhere; the lng component evaluates the cell width at the
+    most poleward latitude reachable within ``radius_km`` of the row
+    (plus one cell extent of floor slack), so equatorial rows explode a
+    3×3 disk while only genuinely polar rows pay wide disks.  The plan
+    stays fully lazy (no sizing job) and the explode volume follows the
+    data's latitude distribution instead of its worst row — the 100 TB
+    shape (a global dataset's worst row is ~90°, which would force the
+    full-wrap disk on every row).
+
+    ``adaptive_ring=False`` restores the uniform ring:
+    :func:`min_ring_for_radius` at ``max_abs_lat`` (computed with one
+    tiny agg job when None), +1 for the cell-boundary straddle.  Either
+    way rings cap at 2^res (full longitude wrap — polar data at coarse
+    radius degenerates to a full scan, inherent to any lat/lng grid
+    method; use a finer ``res`` or an equal-area index there).
 
     Scale note: explode factor is (2·ring+1)² on the RIGHT side only —
     put the smaller relation on the right.  Skewed dense cells are handled
     by AQE skew-join; at extreme skew pre-split with
     operators.skew.adaptive_cell_split.
     """
-    if max_abs_lat is None:
-        row = (
-            left.select(F.abs(F.col("lat")).alias("a"))
-            .unionAll(right.select(F.abs(F.col("lat")).alias("a")))
-            .agg(F.max("a"))
-            .first()
+    lat_extent_deg = 180.0 / (1 << res)
+    lat_extent_km = lat_extent_deg * (math.pi / 180.0) * EARTH_RADIUS_KM
+    if adaptive_ring:
+        r_deg = radius_km / ((math.pi / 180.0) * EARTH_RADIUS_KM)
+        poleward = F.least(
+            F.lit(90.0),
+            F.abs(F.col("lat")) + F.lit(r_deg + lat_extent_deg),
         )
-        max_abs_lat = float(row[0] or 0.0)
-    ring = min(min_ring_for_radius(radius_km, res, max_abs_lat) + 1, 1 << res)
+        cell_w_km = F.lit(2.0 * lat_extent_km) * F.greatest(
+            F.cos(F.radians(poleward)), F.lit(1e-9)
+        )
+        k_lat = math.ceil(radius_km / lat_extent_km)
+        ring_col = F.least(
+            F.greatest(
+                F.ceil(F.lit(radius_km) / cell_w_km), F.lit(k_lat)
+            ).cast("long")
+            + 1,
+            F.lit(1 << res).cast("long"),
+        )
+        ring = ring_col
+    else:
+        if max_abs_lat is None:
+            row = (
+                left.select(F.abs(F.col("lat")).alias("a"))
+                .unionAll(right.select(F.abs(F.col("lat")).alias("a")))
+                .agg(F.max("a"))
+                .first()
+            )
+            max_abs_lat = float(row[0] or 0.0)
+        ring = min(min_ring_for_radius(radius_km, res, max_abs_lat) + 1, 1 << res)
     lx, ly = xy_expr(F.col("lat"), F.col("lng"), res)
     lhs = left.select(
         F.col(left_id),

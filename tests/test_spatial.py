@@ -414,15 +414,47 @@ def test_distance_join_matches_bruteforce(spark):
             (int(i), int(j))
             for i, j in zip(*np.nonzero(d <= radius))
         }
-        got = {
-            (r["left_id"], r["right_id"])
-            for r in distance_join(left, right, radius, res=10).collect()
-        }
-        assert got == want, radius
+        # BOTH ring modes must be exact: per-row adaptive (default) and
+        # the uniform worst-latitude ring
+        for kwargs in ({}, {"adaptive_ring": False}):
+            got = {
+                (r["left_id"], r["right_id"])
+                for r in distance_join(
+                    left, right, radius, res=10, **kwargs
+                ).collect()
+            }
+            assert got == want, (radius, kwargs)
         # distances agree with the oracle to float tolerance
         one = distance_join(left, right, radius, res=10).collect()
         for r in one[:20]:
             assert abs(r["dist_km"] - d[r["left_id"], r["right_id"]]) < 1e-9
+
+
+def test_distance_join_adaptive_near_pole(spark):
+    """Adaptive per-row rings at 86-89°N (cells a few km wide at res 10):
+    the poleward-width sizing and the 2^res cap must keep the join exact
+    against the exhaustive oracle."""
+    from navgraph_osm_spark.operators.knn import distance_join
+
+    rng = np.random.default_rng(11)
+    la = rng.uniform(86, 89, 80)
+    ln = rng.uniform(-180, 180, 80)
+    lb = rng.uniform(86, 89, 60)
+    gb = rng.uniform(-180, 180, 60)
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": np.arange(80, dtype=np.int64), "lat": la, "lng": ln})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"right_id": np.arange(60, dtype=np.int64), "lat": lb, "lng": gb})
+    )
+    d = haversine_np(la[:, None], ln[:, None], lb[None, :], gb[None, :])
+    want = {(int(i), int(j)) for i, j in zip(*np.nonzero(d <= 30.0))}
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in distance_join(left, right, 30.0, res=10).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce pairs"
 
 
 def test_distance_join_plans_equi_join(spark):
