@@ -301,6 +301,40 @@ def polygons_intersect_pairwise_np(
     return hit
 
 
+def point_in_ring_expr(lat: Column, lng: Column, fp: Column) -> Column:
+    """PURE-COLUMN even-odd ray cast: is the point (``lat``, ``lng``)
+    inside the single-ring footprint ``fp`` (``array<struct<lat,lng>>``)?
+
+    Reproduces :func:`points_in_polygon_np`'s exact float expression —
+    ``(y1 > p) != (y2 > p)`` crossing test with
+    ``x1 + (p - y1)/(y2 - y1) * (x2 - x1)`` strict-``<`` intercept — as
+    ``zip_with`` over the closed edge list + an ``aggregate`` parity sum,
+    so the whole test stays in whole-stage codegen: no Python, no join.
+    Horizontal edges contribute nothing (the crossing guard is false
+    before the division is reached — CASE WHEN is lazy in codegen).
+    Used by :func:`operators.spatial_join.polygon_to_cells` for exact
+    polyfill; open rings close via the appended first vertex.
+    """
+    closed = F.concat(fp, F.slice(fp, 1, 1))
+    e1 = F.slice(closed, 1, F.size(closed) - 1)
+    e2 = F.slice(closed, 2, F.size(closed) - 1)
+    crossings = F.zip_with(
+        e1,
+        e2,
+        lambda p, q: F.when(
+            ((p["lat"] > lat) & ~(q["lat"] > lat))
+            | (~(p["lat"] > lat) & (q["lat"] > lat)),
+            F.when(
+                lng
+                < p["lng"]
+                + (lat - p["lat"]) / (q["lat"] - p["lat"]) * (q["lng"] - p["lng"]),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0)),
+    )
+    return F.pmod(F.aggregate(crossings, F.lit(0), lambda a, v: a + v), F.lit(2)) == 1
+
+
 def points_in_polygon_np(
     plat: np.ndarray,
     plng: np.ndarray,

@@ -176,6 +176,49 @@ def tile_assignment(images: DataFrame, res: int, dedupe: bool = False) -> DataFr
     return out.distinct() if dedupe else out
 
 
+def polygon_to_cells(
+    polygons: DataFrame,
+    res: int,
+    poly_id: str = "poly_id",
+    fp: str = "footprint",
+    mode: str = "center",
+) -> DataFrame:
+    """EXACT polyfill (H3 ``polygonToCells`` analogue): the cells of each
+    footprint at resolution ``res``.
+
+    - ``mode="center"`` (H3's semantics): cells whose CENTER lies inside
+      the polygon — decided ENTIRELY IN CODEGEN by a per-cell even-odd
+      ray cast over the footprint array
+      (:func:`functions.geo.point_in_ring_expr`): bbox covering explode →
+      cell-center lat/lng (pure arithmetic) → HOF parity filter.  No
+      Python, no join, no shuffle — a long diagonal sliver keeps only the
+      ~O(perimeter) cells its body actually touches instead of the full
+      bbox rectangle.
+    - ``mode="overlap"``: the bbox covering (conservative superset,
+      :func:`covering_cells` — an image overlaps every bbox cell, the
+      tile-assignment semantics).
+
+    Single-ring footprints (multi-ring rows: polyfill per ring upstream
+    and EXCEPT hole cells, or use the PIP join's ``ring_offsets`` path).
+    Output (poly_id, cell), unique per row by construction.
+    """
+    if mode == "overlap":
+        return covering_cells(polygons.select(poly_id, fp), res, fp).select(
+            poly_id, "cell"
+        )
+    if mode != "center":
+        raise ValueError(f"unknown mode {mode!r}")
+    from navgraph_osm_spark.functions.geo import point_in_ring_expr
+
+    n = 1 << res
+    cov = covering_cells(polygons.select(poly_id, fp), res, fp, keep_xy=True)
+    center_lat = F.lit(90.0) - (F.col("cy") + F.lit(0.5)) * F.lit(180.0 / n)
+    center_lng = (F.col("cx") + F.lit(0.5)) * F.lit(360.0 / n) - F.lit(180.0)
+    return cov.filter(point_in_ring_expr(center_lat, center_lng, F.col(fp))).select(
+        poly_id, "cell"
+    )
+
+
 def compact_cells(
     tiles: DataFrame,
     res: int,

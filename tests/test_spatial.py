@@ -846,6 +846,65 @@ def test_polygons_intersect_pairwise_matches_per_pair():
     assert polygons_intersect_pairwise_np(cl[0], cl[1], op[0], op[1])[0]
 
 
+def test_polygon_to_cells_center_mode(spark):
+    """Exact polyfill in pure codegen: cells whose center the footprint
+    contains, vs a numpy oracle (same even-odd kernel over cell centers);
+    a long thin diagonal sliver must keep far fewer cells than its bbox
+    covering; the plan must contain no Python eval and no Exchange."""
+    from navgraph_osm_spark.operators.spatial_join import polygon_to_cells
+
+    res = 8
+    n = 1 << res
+    polys = [
+        # triangle
+        {"poly_id": 1, "footprint": [
+            {"lat": 10.0, "lng": 0.0}, {"lat": 10.0, "lng": 20.0},
+            {"lat": 25.0, "lng": 0.0}]},
+        # thin diagonal sliver across ~30 degrees
+        {"poly_id": 2, "footprint": [
+            {"lat": -40.0, "lng": -30.0}, {"lat": -39.0, "lng": -29.0},
+            {"lat": -10.0, "lng": 0.0}, {"lat": -11.0, "lng": -1.0}]},
+        # hexagon
+        {"poly_id": 3, "footprint": [
+            {"lat": 50.0 + 5 * np.sin(t), "lng": 100.0 + 8 * np.cos(t)}
+            for t in np.linspace(0, 2 * np.pi, 6, endpoint=False)]},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(polys),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    out = polygon_to_cells(df, res)
+    got = {(r["poly_id"], r["cell"]) for r in out.collect()}
+
+    want = set()
+    for p in polys:
+        fl = np.array([v["lat"] for v in p["footprint"]])
+        fg = np.array([v["lng"] for v in p["footprint"]])
+        x0 = int(np.clip((fg.min() + 180.0) / 360.0 * n, 0, n - 1))
+        x1 = int(np.clip((fg.max() + 180.0) / 360.0 * n, 0, n - 1))
+        y0 = int(np.clip((90.0 - fl.max()) / 180.0 * n, 0, n - 1))
+        y1 = int(np.clip((90.0 - fl.min()) / 180.0 * n, 0, n - 1))
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        xs, ys = xs.ravel(), ys.ravel()
+        clat = 90.0 - (ys + 0.5) * 180.0 / n
+        clng = (xs + 0.5) * 360.0 / n - 180.0
+        inside = points_in_polygon_np(clat, clng, fl, fg)
+        for x, y in zip(xs[inside], ys[inside]):
+            want.add((p["poly_id"], int(cells.xy_to_cell(
+                np.array([x]), np.array([y]), res)[0])))
+    assert got == want
+    assert want, "fixture must fill cells"
+
+    # the sliver keeps ~O(perimeter) cells, far below its bbox covering
+    n_sliver = sum(1 for pid, _ in got if pid == 2)
+    n_bbox = polygon_to_cells(df.filter("poly_id = 2"), res, mode="overlap").count()
+    assert n_sliver < n_bbox / 4, (n_sliver, n_bbox)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
 def test_compact_uncompact_cells(spark):
     """H3-style compact/uncompact over the Morton hierarchy: compaction is
     minimal (no four siblings survive), the uncompact round-trip restores
