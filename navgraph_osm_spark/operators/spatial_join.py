@@ -219,6 +219,96 @@ def polygon_to_cells(
     )
 
 
+def polyline_to_cells(
+    lines: DataFrame,
+    res: int,
+    line_id: str = "way_id",
+    geom: str = "geometry",
+) -> DataFrame:
+    """SUPERCOVER line rasterization (H3 ``gridPathCells`` made exact):
+    every cell a polyline passes through at resolution ``res`` — the
+    way→tile primitive for road geometry (which tiles does this road
+    touch), entirely in whole-stage codegen.
+
+    Column-walk construction, per segment: walk the integer grid columns
+    the segment's x-extent spans (``sequence`` explode); within column
+    ``c`` the segment occupies x ∈ [max(xs, c), min(xe, c+1)], and since
+    y is linear (monotone) in x along a segment, its y-extent there is
+    the interval between the y values at those two x — one more
+    ``sequence`` over the rows of that interval yields the column's
+    cells.  Per-way: ``zip_with`` pairs consecutive vertices into
+    segments, nested transforms build each segment's cell array, a
+    single ``flatten`` + ``array_distinct`` merges segments (shared
+    endpoint cells appear once), then ``explode``.  No Python, no join,
+    no shuffle.
+
+    Boundary convention: a segment running exactly along a cell edge (or
+    through a corner) includes the cells on BOTH sides — supercover
+    semantics, a conservative superset (the tiling use-case wants "might
+    touch").  Longitude does not wrap: split antimeridian-crossing ways
+    upstream (:func:`split_antimeridian` emits seam-sharing parts).
+    Output (line_id, cell), unique per row by construction.
+    """
+    n = 1 << res
+    nf = float(n)
+
+    def _gx(p):
+        return (p["lng"] + F.lit(180.0)) / F.lit(360.0) * F.lit(nf)
+
+    def _gy(p):
+        return (F.lit(90.0) - p["lat"]) / F.lit(180.0) * F.lit(nf)
+
+    def _clamp(v):
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(F.lit(n - 1).cast("long"), v.cast("long")))
+
+    def _segment_cells(p, q):
+        x0, y0, x1, y1 = _gx(p), _gy(p), _gx(q), _gy(q)
+        xs, xe = F.least(x0, x1), F.greatest(x0, x1)
+        cs, ce = _clamp(F.floor(xs)), _clamp(F.floor(xe))
+
+        def _col_cells(c):
+            cf = c.cast("double")
+            xa = F.greatest(xs, cf)
+            xb = F.least(xe, cf + F.lit(1.0))
+            # y at xa / xb — linear in x; vertical segments take the full
+            # y-extent (the guard keeps the division unevaluated)
+            vert = x1 == x0
+            t_a = (xa - x0) / (x1 - x0)
+            t_b = (xb - x0) / (x1 - x0)
+            ya = F.when(vert, F.least(y0, y1)).otherwise(y0 + t_a * (y1 - y0))
+            yb = F.when(vert, F.greatest(y0, y1)).otherwise(y0 + t_b * (y1 - y0))
+            lo = _clamp(F.floor(F.least(ya, yb)))
+            hi = _clamp(F.floor(F.greatest(ya, yb)))
+            return F.transform(
+                F.sequence(lo, hi),
+                lambda yy: cell_from_xy_expr(c, yy, res),
+            )
+
+        return F.flatten(F.transform(F.sequence(cs, ce), _col_cells))
+
+    g = F.col(geom)
+    seg_cells = F.zip_with(
+        F.slice(g, 1, F.size(g) - 1),
+        F.slice(g, 2, F.size(g) - 1),
+        _segment_cells,
+    )
+    # single-vertex "lines" degrade to their point cell
+    point_cell = F.array(
+        cell_from_xy_expr(
+            _clamp(F.floor(_gx(F.element_at(g, 1)))),
+            _clamp(F.floor(_gy(F.element_at(g, 1)))),
+            res,
+        )
+    )
+    all_cells = F.when(F.size(g) >= 2, F.array_distinct(F.flatten(seg_cells))).otherwise(
+        point_cell
+    )
+    return lines.select(
+        F.col(line_id), F.explode(all_cells).alias("cell")
+    )
+
+
 def compact_cells(
     tiles: DataFrame,
     res: int,

@@ -905,6 +905,78 @@ def test_polygon_to_cells_center_mode(spark):
     assert "Python" not in plan and "MapInPandas" not in plan
 
 
+def test_polyline_to_cells_supercover(spark):
+    """Line rasterization: every densely-sampled point of each way lands
+    in an emitted cell (completeness), every emitted cell's closed bbox
+    touches the way (tightness — supercover, not bbox flood), duplicates
+    merged across segments, and the plan is pure codegen."""
+    from navgraph_osm_spark.operators.spatial_join import polyline_to_cells
+
+    res = 9
+    n = 1 << res
+    rng = np.random.default_rng(17)
+    ways = []
+    for wid in range(12):
+        k = int(rng.integers(2, 7))
+        lat = np.cumsum(np.concatenate([[rng.uniform(-60, 60)],
+                                        rng.uniform(-3, 3, k - 1)]))
+        lng = np.cumsum(np.concatenate([[rng.uniform(-150, 150)],
+                                        rng.uniform(-3, 3, k - 1)]))
+        lat = np.clip(lat, -89, 89)
+        lng = np.clip(lng, -179, 179)
+        ways.append({"way_id": wid, "geometry": [
+            {"lat": float(a), "lng": float(b)} for a, b in zip(lat, lng)]})
+    # a perfectly vertical and a perfectly horizontal way (slope edge cases)
+    ways.append({"way_id": 100, "geometry": [
+        {"lat": 10.0, "lng": 5.0}, {"lat": 20.0, "lng": 5.0}]})
+    ways.append({"way_id": 101, "geometry": [
+        {"lat": 10.0, "lng": 5.0}, {"lat": 10.0, "lng": 25.0}]})
+    df = spark.createDataFrame(
+        pd.DataFrame(ways),
+        "way_id long, geometry array<struct<lat:double,lng:double>>",
+    )
+    out = polyline_to_cells(df, res)
+    got: dict[int, set] = {}
+    rows = out.collect()
+    for r in rows:
+        got.setdefault(r["way_id"], set()).add(r["cell"])
+    assert len(rows) == sum(len(v) for v in got.values()), "cells unique per way"
+
+    for w in ways:
+        lat = np.array([p["lat"] for p in w["geometry"]])
+        lng = np.array([p["lng"] for p in w["geometry"]])
+        cells_w = got[w["way_id"]]
+        # completeness: dense samples along every segment
+        for i in range(len(lat) - 1):
+            t = np.linspace(0, 1, 500)
+            sl = lat[i] + t * (lat[i + 1] - lat[i])
+            sg = lng[i] + t * (lng[i + 1] - lng[i])
+            cc = cells.latlng_to_cell(sl, sg, res)
+            assert set(int(c) for c in cc) <= cells_w, w["way_id"]
+        # tightness: each cell's closed bbox must touch some segment
+        for c in cells_w:
+            y0a, y1a, x0a, x1a = cells.cell_bounds(np.array([c]))
+            x0, x1 = float(x0a[0]), float(x1a[0])
+            y0v, y1v = float(y0a[0]), float(y1a[0])
+            touched = False
+            for i in range(len(lat) - 1):
+                t = np.linspace(0, 1, 2000)
+                sl = lat[i] + t * (lat[i + 1] - lat[i])
+                sg = lng[i] + t * (lng[i + 1] - lng[i])
+                eps = 1e-6 + 0.75 * max(
+                    abs(lat[i + 1] - lat[i]), abs(lng[i + 1] - lng[i])
+                ) / 2000
+                if ((sg >= x0 - eps) & (sg <= x1 + eps)
+                        & (sl >= y0v - eps) & (sl <= y1v + eps)).any():
+                    touched = True
+                    break
+            assert touched, (w["way_id"], c)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
 def test_compact_uncompact_cells(spark):
     """H3-style compact/uncompact over the Morton hierarchy: compaction is
     minimal (no four siblings survive), the uncompact round-trip restores
