@@ -51,6 +51,97 @@ def streaming_geofence_join(
     )
 
 
+TRANSITIONS_SCHEMA = "point_id long, ts timestamp, zone long, event string"
+# state: the zone set after the last processed ping + that ping's epoch µs
+_TRANS_STATE_SCHEMA = "zones array<long>, last_us long"
+
+
+def geofence_transitions(
+    points_stream: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    point_id: str = "point_id",
+    poly_id: str = "poly_id",
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ENTER/EXIT edge detection per (moving point, zone) — the stateful
+    half of geofencing: a row when a point's ping set of containing zones
+    gains (``enter``) or loses (``exit``) a zone relative to its previous
+    ping.
+
+    Composition: the stream-static geofence join's (ping, zone) rows are
+    UNIONED with a null-zone row per raw ping (a ping inside no zone must
+    still reach the state operator, otherwise leaving the last zone would
+    never emit its ``exit``; a stream-stream left self-join is not
+    allowed, the union is the stateless equivalent), then
+    ``applyInPandasWithState`` keyed by ``point_id`` holding the previous
+    ping's zone set — per ping the set is its group's non-null zones.  Pings are processed in event-
+    time order WITHIN each micro-batch; a ping older than the state's
+    last processed ping (late cross-batch arrival) is ignored — the
+    watermark bounds how long that ambiguity lives.  The first ping of a
+    point emits ``enter`` rows for every zone it is already in.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    matched = point_in_polygon_join(
+        points_stream, polygons, res,
+        point_id=point_id, poly_id=poly_id, carry=(ts,),
+    ).select(point_id, poly_id, ts)
+    null_pings = points_stream.select(
+        F.col(point_id),
+        F.lit(None).cast("long").alias(poly_id),
+        F.col(ts),
+    )
+    pings = matched.unionByName(null_pings).withWatermark(ts, watermark)
+
+    def _update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - production knob
+            state.remove()
+            yield pd.DataFrame(
+                {"point_id": [], "ts": [], "zone": [], "event": []}
+            )
+            return
+        zones, last_us = (
+            (set(state.get[0]), state.get[1]) if state.exists else (set(), -1)
+        )
+        out_pid, out_ts, out_zone, out_ev = [], [], [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            # one row per (ping, zone) — group to per-ping zone sets,
+            # ordered by event time
+            rows["_us"] = rows[ts].astype("int64")
+            for us, grp in sorted(rows.groupby("_us"), key=lambda kv: kv[0]):
+                if us <= last_us:
+                    continue  # late or duplicate ping — state already past it
+                now = {
+                    int(z) for z in grp[poly_id].dropna().to_numpy(dtype=np.float64)
+                }
+                t = grp[ts].iloc[0]
+                for z in sorted(now - zones):
+                    out_pid.append(key[0]); out_ts.append(t)
+                    out_zone.append(z); out_ev.append("enter")
+                for z in sorted(zones - now):
+                    out_pid.append(key[0]); out_ts.append(t)
+                    out_zone.append(z); out_ev.append("exit")
+                zones, last_us = now, us
+        state.update((sorted(zones), last_us))
+        yield pd.DataFrame(
+            {"point_id": out_pid, "ts": out_ts, "zone": out_zone, "event": out_ev}
+        )
+
+    return pings.groupBy(point_id).applyInPandasWithState(
+        _update,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def geofence_window_counts(
     matched: DataFrame,
     window: str = "5 minutes",

@@ -353,6 +353,87 @@ def test_streaming_geofence_matches_batch(spark, tmp_path_factory):
     assert total == len(want)
 
 
+def test_streaming_geofence_transitions(spark, tmp_path_factory):
+    """Stateful ENTER/EXIT detection: scripted paths through two zones
+    across micro-batches must emit exactly the transitions a batch
+    recompute derives (per-ping zone sets diffed in event-time order),
+    including exit-to-nowhere (left join keeps zone-less pings) and
+    first-ping enters."""
+    from navgraph_osm_spark.operators.spatial_join import point_in_polygon_join
+    from navgraph_osm_spark.streaming.events import run_to_memory
+    from navgraph_osm_spark.streaming.spatial import geofence_transitions
+
+    zones = spark.createDataFrame(
+        pd.DataFrame([
+            {"poly_id": 1, "footprint": [
+                {"lat": 0.0, "lng": 0.0}, {"lat": 0.0, "lng": 10.0},
+                {"lat": 10.0, "lng": 10.0}, {"lat": 10.0, "lng": 0.0}]},
+            {"poly_id": 2, "footprint": [  # overlaps zone 1 on lng 5-10
+                {"lat": 0.0, "lng": 5.0}, {"lat": 0.0, "lng": 15.0},
+                {"lat": 10.0, "lng": 15.0}, {"lat": 10.0, "lng": 5.0}]},
+        ]),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    # point 1 walks east through zone1 -> overlap -> zone2 -> outside;
+    # point 2 starts inside the overlap and leaves north
+    base = pd.Timestamp("2026-01-01")
+    steps = [
+        (1, 0, 5.0, 2.0), (1, 1, 5.0, 7.0), (1, 2, 5.0, 12.0), (1, 3, 5.0, 20.0),
+        (2, 0, 5.0, 7.0), (2, 1, 20.0, 7.0), (2, 2, 5.0, 7.0),
+    ]
+    pdf = pd.DataFrame({
+        "point_id": [s[0] for s in steps],
+        "ts": [base + pd.Timedelta(minutes=s[1]) for s in steps],
+        "lat": [s[2] for s in steps],
+        "lng": [s[3] for s in steps],
+    })
+    d = tmp_path_factory.mktemp("trans_stream")
+    # one file per time step, written in order → ordered micro-batches
+    for i, (_us, grp) in enumerate(
+        sorted(pdf.groupby(pdf["ts"].astype("int64")), key=lambda kv: kv[0])
+    ):
+        tmp = d / f"w{i}"
+        spark.createDataFrame(grp).coalesce(1).write.parquet(str(tmp))
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(tmp / src, d / f"part-{i}.parquet")
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("point_id long, ts timestamp, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    out = geofence_transitions(stream, zones, res=6)
+    run_to_memory(out, "transitions_out", mode="append")
+    got = {
+        (r["point_id"], r["ts"], r["zone"], r["event"])
+        for r in spark.sql("SELECT * FROM transitions_out").collect()
+    }
+
+    # batch oracle: per-ping zone sets (left join) diffed in ts order
+    batch_pts = spark.createDataFrame(pdf)
+    matched = point_in_polygon_join(batch_pts, zones, res=6, carry=("ts",))
+    memb: dict[tuple, set] = {}
+    for r in matched.collect():
+        memb.setdefault((r["point_id"], r["ts"]), set()).add(r["poly_id"])
+    want = set()
+    for pid, grp in pdf.groupby("point_id"):
+        prev: set = set()
+        for _, row in grp.sort_values("ts").iterrows():
+            now = memb.get((row["point_id"], row["ts"]), set())
+            for z in now - prev:
+                want.add((pid, row["ts"], z, "enter"))
+            for z in prev - now:
+                want.add((pid, row["ts"], z, "exit"))
+            prev = now
+    assert got == want
+    # the scripted path must exercise every transition kind
+    assert {ev for _, _, _, ev in want} == {"enter", "exit"}
+
+
 def test_streaming_session_windows(spark, events_dir):
     from navgraph_osm_spark.streaming.events import read_events_stream, run_to_memory, session_windows
 
