@@ -271,7 +271,8 @@ def cell_bounds_expr(cell: Column, res: int) -> tuple[Column, Column, Column, Co
 
 
 def grid_disk_expr(
-    cell_x: Column, cell_y: Column, res: int, k: int | Column
+    cell_x: Column, cell_y: Column, res: int, k: int | Column,
+    ky: int | Column | None = None,
 ) -> Column:
     """Array of (x, y) neighbor structs within Chebyshev distance k.
 
@@ -281,7 +282,10 @@ def grid_disk_expr(
 
     ``k`` may be a COLUMN for per-row disk sizing (distance_join sizes
     each row's disk from its own latitude — equatorial rows get ring 1,
-    only poleward rows pay wide disks).
+    only poleward rows pay wide disks).  ``ky`` makes the disk
+    ASYMMETRIC: ``k`` spans longitude (x), ``ky`` latitude (y) — a
+    fixed-radius search needs far fewer lat rows than poleward lng
+    columns, so the rectangle (2k+1)×(2ky+1) beats the square.
 
     The result is DISTINCT per disk (array_distinct, per-row — no shuffle):
     when ``2k+1 > 2^res`` the longitude wrap revisits cells, and downstream
@@ -290,11 +294,12 @@ def grid_disk_expr(
     """
     n = 1 << res
     kc = F.lit(k) if isinstance(k, int) else k.cast("long")
+    kyc = kc if ky is None else (F.lit(ky) if isinstance(ky, int) else ky.cast("long"))
     pairs = F.flatten(
         F.transform(
             F.sequence(-kc, kc),
             lambda i: F.transform(
-                F.sequence(-kc, kc),
+                F.sequence(-kyc, kyc),
                 lambda j: F.struct(
                     F.pmod(cell_x + i, F.lit(n)).alias("x"),
                     (cell_y + j).alias("y"),

@@ -216,16 +216,17 @@ def distance_join(
     by construction (a left row is in exactly one cell; a right row's disk
     contains each cell at most once) — no dedup shuffle.
 
-    Ring sizing (``adaptive_ring=True``, the default): PER ROW, from the
-    row's own latitude — the lat component needs ``ceil(r / cell_h)``
-    cells everywhere; the lng component evaluates the cell width at the
-    most poleward latitude reachable within ``radius_km`` of the row
-    (plus one cell extent of floor slack), so equatorial rows explode a
-    3×3 disk while only genuinely polar rows pay wide disks.  The plan
-    stays fully lazy (no sizing job) and the explode volume follows the
-    data's latitude distribution instead of its worst row — the 100 TB
-    shape (a global dataset's worst row is ~90°, which would force the
-    full-wrap disk on every row).
+    Ring sizing (``adaptive_ring=True``, the default): PER ROW and
+    ASYMMETRIC — the latitude extent needs ``ceil(r / cell_h) + 1`` rows
+    everywhere (cells never narrow in latitude); the longitude extent
+    evaluates the cell width at the most poleward latitude reachable
+    within ``radius_km`` of the row (plus one cell extent of floor
+    slack).  Equatorial rows explode a 3×3 disk; poleward rows widen
+    only in longitude (a (2kx+1)×(2ky+1) rectangle, not the square of
+    the worse axis).  The plan stays fully lazy (no sizing job) and the
+    explode volume follows the data's latitude distribution instead of
+    its worst row — the 100 TB shape (a global dataset's worst row is
+    ~90°, which would force the full-wrap disk on every row).
 
     ``adaptive_ring=False`` restores the uniform ring:
     :func:`min_ring_for_radius` at ``max_abs_lat`` (computed with one
@@ -234,7 +235,7 @@ def distance_join(
     radius degenerates to a full scan, inherent to any lat/lng grid
     method; use a finer ``res`` or an equal-area index there).
 
-    Scale note: explode factor is (2·ring+1)² on the RIGHT side only —
+    Scale note: the explode factor applies to the RIGHT side only —
     put the smaller relation on the right.  Skewed dense cells are handled
     by AQE skew-join; at extreme skew pre-split with
     operators.skew.adaptive_cell_split.
@@ -250,15 +251,14 @@ def distance_join(
         cell_w_km = F.lit(2.0 * lat_extent_km) * F.greatest(
             F.cos(F.radians(poleward)), F.lit(1e-9)
         )
-        k_lat = math.ceil(radius_km / lat_extent_km)
+        k_lat = math.ceil(radius_km / lat_extent_km) + 1
         ring_col = F.least(
-            F.greatest(
-                F.ceil(F.lit(radius_km) / cell_w_km), F.lit(k_lat)
-            ).cast("long")
-            + 1,
+            F.ceil(F.lit(radius_km) / cell_w_km).cast("long") + 1,
             F.lit(1 << res).cast("long"),
         )
+        # asymmetric disk: lng columns widen poleward, lat rows never do
         ring = ring_col
+        ring_y: int | None = min(k_lat, 1 << res)
     else:
         if max_abs_lat is None:
             row = (
@@ -269,6 +269,7 @@ def distance_join(
             )
             max_abs_lat = float(row[0] or 0.0)
         ring = min(min_ring_for_radius(radius_km, res, max_abs_lat) + 1, 1 << res)
+        ring_y = None
     lx, ly = xy_expr(F.col("lat"), F.col("lng"), res)
     lhs = left.select(
         F.col(left_id),
@@ -282,7 +283,7 @@ def distance_join(
             F.col(right_id),
             F.col("lat").alias("r_lat"),
             F.col("lng").alias("r_lng"),
-            F.explode(grid_disk_expr(rx, ry, res, ring)).alias("nb"),
+            F.explode(grid_disk_expr(rx, ry, res, ring, ring_y)).alias("nb"),
         )
         .withColumn("cell", cell_from_xy_expr(F.col("nb.x"), F.col("nb.y"), res))
         .drop("nb")
