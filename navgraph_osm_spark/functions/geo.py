@@ -114,7 +114,7 @@ def _orient_np(ax, ay, bx, by, cx, cy):
 _EDGE_TILE = 2048  # edge-pair tile side: ≤4M elements (~32 MB) per array
 
 
-def _any_point_in_polygon_np(plat, plng, poly_lat, poly_lng) -> bool:
+def _any_point_in_polygon_np(plat, plng, poly_lat, poly_lng, ring_starts=None) -> bool:
     """Early-exiting ``points_in_polygon_np(...).any()``: points are tested
     in geometrically growing chunks (1k, 8k, rest) so a hit in the first
     chunk skips the full ray-cast — the common case for genuinely
@@ -125,14 +125,34 @@ def _any_point_in_polygon_np(plat, plng, poly_lat, poly_lng) -> bool:
         if s >= n:
             break
         e = min(n, s + chunk)
-        if points_in_polygon_np(plat[s:e], plng[s:e], poly_lat, poly_lng).any():
+        if points_in_polygon_np(
+            plat[s:e], plng[s:e], poly_lat, poly_lng, ring_starts=ring_starts
+        ).any():
             return True
         s = e
     return False
 
 
+def _ring_edges_np(lat: np.ndarray, lng: np.ndarray, ring_starts):
+    """Closed edge arrays (x1, y1, x2, y2) of a (multi-)ring polygon —
+    each ring closes onto its own first vertex; no cross-ring edges."""
+    if ring_starts is None or len(ring_starts) <= 1:
+        return lng, lat, np.roll(lng, -1), np.roll(lat, -1)
+    starts = [int(s) for s in ring_starts]
+    bounds = starts + [lat.size]
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b - a < 2:
+            continue
+        x1s.append(lng[a:b]); y1s.append(lat[a:b])
+        x2s.append(np.roll(lng[a:b], -1)); y2s.append(np.roll(lat[a:b], -1))
+    return (np.concatenate(x1s), np.concatenate(y1s),
+            np.concatenate(x2s), np.concatenate(y2s))
+
+
 def polygons_intersect_np(
-    a_lat: np.ndarray, a_lng: np.ndarray, b_lat: np.ndarray, b_lng: np.ndarray
+    a_lat: np.ndarray, a_lng: np.ndarray, b_lat: np.ndarray, b_lng: np.ndarray,
+    a_rings=None, b_rings=None,
 ) -> bool:
     """Do two simple polygons overlap?  True iff any vertex of one lies in
     the other (even-odd interior) OR any edge pair properly crosses.
@@ -156,6 +176,13 @@ def polygons_intersect_np(
     orientation test runs in fixed-size tiles (``_EDGE_TILE``²) with early
     exit — a 50k×50k-vertex pair allocates tile-sized scratch, never the
     full 2.5G-element broadcast.
+
+    ``a_rings`` / ``b_rings`` (optional ring start offsets, as in
+    :func:`points_in_polygon_np`) extend the test to MULTI-RING polygons
+    with even-odd interiors: vertex containment ray-casts against the
+    ring-summed parity (a shape entirely inside the other's HOLE reports
+    False), and the crossing test uses per-ring closed edge lists (no
+    spurious cross-ring closing edges).
     """
     a_lat = np.asarray(a_lat, dtype=np.float64)
     a_lng = np.asarray(a_lng, dtype=np.float64)
@@ -173,16 +200,18 @@ def polygons_intersect_np(
     # contained, so the ray-cast runs on that (usually tiny) subset, with
     # geometrically-growing point chunks for early exit on the first hit
     ca = (a_lng >= ox0) & (a_lng <= ox1) & (a_lat >= oy0) & (a_lat <= oy1)
-    if ca.any() and _any_point_in_polygon_np(a_lat[ca], a_lng[ca], b_lat, b_lng):
+    if ca.any() and _any_point_in_polygon_np(
+        a_lat[ca], a_lng[ca], b_lat, b_lng, ring_starts=b_rings
+    ):
         return True
     cb = (b_lng >= ox0) & (b_lng <= ox1) & (b_lat >= oy0) & (b_lat <= oy1)
-    if cb.any() and _any_point_in_polygon_np(b_lat[cb], b_lng[cb], a_lat, a_lng):
+    if cb.any() and _any_point_in_polygon_np(
+        b_lat[cb], b_lng[cb], a_lat, a_lng, ring_starts=a_rings
+    ):
         return True
-    # closed edge lists
-    ax1, ay1 = a_lng, a_lat
-    ax2, ay2 = np.roll(a_lng, -1), np.roll(a_lat, -1)
-    bx1, by1 = b_lng, b_lat
-    bx2, by2 = np.roll(b_lng, -1), np.roll(b_lat, -1)
+    # per-ring closed edge lists
+    ax1, ay1, ax2, ay2 = _ring_edges_np(a_lat, a_lng, a_rings)
+    bx1, by1, bx2, by2 = _ring_edges_np(b_lat, b_lng, b_rings)
     # segment prefilter: a crossing pair's edges both intersect the bbox
     # overlap region of the two polygons — for disjoint or barely-touching
     # footprints this eliminates nearly every edge before the O(|A|·|B|)

@@ -391,6 +391,7 @@ def polygon_intersection_join(
     b_id: str = "b_id",
     fp: str = "footprint",
     exact: bool = True,
+    rings: str = "ring_offsets",
 ) -> DataFrame:
     """Polygon ⋈ polygon OVERLAY join: pairs whose footprints intersect —
     the fourth classic spatial join next to containment (PIP), nearest
@@ -424,22 +425,41 @@ def polygon_intersection_join(
     Boundary semantics: shared-boundary-only contact (no interior
     overlap, no crossing) reports False — the even-odd convention of the
     underlying kernels.
+
+    Multi-ring inputs: when either table carries a ``rings`` column
+    (``array<int>`` ring start offsets, as in
+    :func:`point_in_polygon_join`), those rows refine with ring-summed
+    even-odd containment and per-ring edge lists — a B entirely inside
+    A's HOLE reports False.  The candidate stage keeps the UNION-bbox
+    covering on purpose: the dedup-free responsibility corner must lie in
+    both coverings, which per-ring coverings of separated shells cannot
+    guarantee.  Single-ring rows keep the shape-batched fast kernel.
     """
+    has_ar = rings in a_polys.columns
+    has_br = rings in b_polys.columns
+    a_cols = [F.col(a_id), F.col(fp).alias("__a_fp")] + (
+        [F.col(rings).alias("__a_rings")] if has_ar else []
+    )
+    b_cols = [F.col(b_id), F.col(fp).alias("__b_fp")] + (
+        [F.col(rings).alias("__b_rings")] if has_br else []
+    )
     ca = covering_cells(
-        a_polys.select(F.col(a_id), F.col(fp).alias("__a_fp")),
+        a_polys.select(*a_cols),
         res, "__a_fp", keep_bbox=True, keep_xy=True,
     ).select(
         a_id, "__a_fp", "cell", "cx", "cy",
+        *(["__a_rings"] if has_ar else []),
         F.col("lat_min").alias("a_lat_min"), F.col("lat_max").alias("a_lat_max"),
         F.col("lng_min").alias("a_lng_min"), F.col("lng_max").alias("a_lng_max"),
     )
     a_rx, a_ry = xy_expr(F.col("a_lat_min"), F.col("a_lng_min"), res)
     ca = ca.withColumn("__a_rx", a_rx).withColumn("__a_ry", a_ry)
     cb = covering_cells(
-        b_polys.select(F.col(b_id), F.col(fp).alias("__b_fp")),
+        b_polys.select(*b_cols),
         res, "__b_fp", keep_bbox=True,
     ).select(
         b_id, "__b_fp", "cell",
+        *(["__b_rings"] if has_br else []),
         F.col("lat_min").alias("b_lat_min"), F.col("lat_max").alias("b_lat_max"),
         F.col("lng_min").alias("b_lng_min"), F.col("lng_max").alias("b_lng_max"),
     )
@@ -465,14 +485,19 @@ def polygon_intersection_join(
     )
     if not exact:
         return cand.select(a_id, b_id)
-    sel = cand.select(
+    sel_cols = [
         F.col(a_id),
         F.col(b_id),
         F.transform("__a_fp", lambda p: p["lat"]).alias("__alat"),
         F.transform("__a_fp", lambda p: p["lng"]).alias("__alng"),
         F.transform("__b_fp", lambda p: p["lat"]).alias("__blat"),
         F.transform("__b_fp", lambda p: p["lng"]).alias("__blng"),
-    )
+    ]
+    if has_ar:
+        sel_cols.append(F.col("__a_rings"))
+    if has_br:
+        sel_cols.append(F.col("__b_rings"))
+    sel = cand.select(*sel_cols)
     # refinement input inherits the cell join's skew (dense cells emit most
     # candidate pairs); the kernel is row-independent, so rebalance on the
     # pair hash before the Python stage — AQE sizes the shuffle output, the
@@ -482,35 +507,65 @@ def polygon_intersection_join(
     out_schema = f"{a_id} {dtypes[a_id]}, {b_id} {dtypes[b_id]}"
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from navgraph_osm_spark.functions.geo import polygons_intersect_pairwise_np
+        from navgraph_osm_spark.functions.geo import (
+            polygons_intersect_np,
+            polygons_intersect_pairwise_np,
+        )
+
+        def _nrings(col, i):
+            v = col[i]
+            return 1 if v is None or len(v) <= 1 else len(v)
 
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 yield pdf[[a_id, b_id]]
                 continue
-            # batch pairs by vertex-count shape: one vectorized kernel call
-            # per (|A|, |B|) group instead of a Python dispatch per pair
-            na = np.fromiter((len(v) for v in pdf["__alat"]), np.int64, n)
-            nb = np.fromiter((len(v) for v in pdf["__blat"]), np.int64, n)
-            shape_key = na * (nb.max() + 1) + nb
-            order = np.argsort(shape_key, kind="stable")
-            skey = shape_key[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], skey[1:] != skey[:-1]))
-            )
-            keep = np.zeros(n, dtype=bool)
-            bounds = np.append(starts, n)
             alat = pdf["__alat"].to_numpy()
             alng = pdf["__alng"].to_numpy()
             blat = pdf["__blat"].to_numpy()
             blng = pdf["__blng"].to_numpy()
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                idx = order[s:e]
-                keep[idx] = polygons_intersect_pairwise_np(
-                    np.stack(alat[idx]), np.stack(alng[idx]),
-                    np.stack(blat[idx]), np.stack(blng[idx]),
+            ar = pdf["__a_rings"].to_numpy() if has_ar else None
+            br = pdf["__b_rings"].to_numpy() if has_br else None
+            keep = np.zeros(n, dtype=bool)
+            multi = np.zeros(n, dtype=bool)
+            if ar is not None:
+                multi |= np.fromiter(
+                    (_nrings(ar, i) > 1 for i in range(n)), bool, n
                 )
+            if br is not None:
+                multi |= np.fromiter(
+                    (_nrings(br, i) > 1 for i in range(n)), bool, n
+                )
+            # multi-ring rows: per-pair kernel with ring-aware refinement
+            for i in np.flatnonzero(multi):
+                keep[i] = polygons_intersect_np(
+                    np.asarray(alat[i]), np.asarray(alng[i]),
+                    np.asarray(blat[i]), np.asarray(blng[i]),
+                    a_rings=ar[i] if ar is not None else None,
+                    b_rings=br[i] if br is not None else None,
+                )
+            # single-ring rows: batch by vertex-count shape — one
+            # vectorized kernel call per (|A|, |B|) group
+            single = np.flatnonzero(~multi)
+            if single.size:
+                na = np.fromiter((len(alat[i]) for i in single), np.int64,
+                                 single.size)
+                nb = np.fromiter((len(blat[i]) for i in single), np.int64,
+                                 single.size)
+                shape_key = na * (nb.max() + 1) + nb
+                order = np.argsort(shape_key, kind="stable")
+                skey = shape_key[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], skey[1:] != skey[:-1]))
+                )
+                bounds = np.append(starts, single.size)
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    idx = single[order[s:e]]
+                    keep[idx] = polygons_intersect_pairwise_np(
+                        np.stack(alat[idx]), np.stack(alng[idx]),
+                        np.stack(blat[idx]), np.stack(blng[idx]),
+                    )
             yield pdf[keep][[a_id, b_id]]
 
     return sel.mapInPandas(_kernel, schema=out_schema)

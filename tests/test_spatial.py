@@ -846,6 +846,89 @@ def test_polygons_intersect_pairwise_matches_per_pair():
     assert polygons_intersect_pairwise_np(cl[0], cl[1], op[0], op[1])[0]
 
 
+def test_polygons_intersect_multi_ring_kernel():
+    """Ring-aware intersection kernel: a shape entirely inside the
+    other's HOLE reports False; crossing into the band, containing the
+    whole donut, or sitting in the band reports True; no spurious
+    cross-ring closing edges (the chord between rings is not an edge)."""
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np as isect
+
+    donut_lat = np.array([0.0, 0.0, 10.0, 10.0, 3.0, 3.0, 7.0, 7.0])
+    donut_lng = np.array([0.0, 10.0, 10.0, 0.0, 3.0, 7.0, 7.0, 3.0])
+    rings = [0, 4]
+
+    def sq(y0, x0, s):
+        return (np.array([y0, y0, y0 + s, y0 + s]),
+                np.array([x0, x0 + s, x0 + s, x0]))
+
+    # entirely inside the hole → no overlap
+    assert not isect(*sq(4.0, 4.0, 2.0), donut_lat, donut_lng,
+                     b_rings=rings)
+    assert not isect(donut_lat, donut_lng, *sq(4.0, 4.0, 2.0),
+                     a_rings=rings)
+    # crossing from hole into the band
+    assert isect(*sq(4.0, 4.0, 5.0), donut_lat, donut_lng, b_rings=rings)
+    # inside the band
+    assert isect(*sq(0.5, 0.5, 1.0), donut_lat, donut_lng, b_rings=rings)
+    # containing the whole donut
+    assert isect(*sq(-5.0, -5.0, 20.0), donut_lat, donut_lng, b_rings=rings)
+    # disjoint
+    assert not isect(*sq(50.0, 50.0, 1.0), donut_lat, donut_lng, b_rings=rings)
+    # two separated shells as one multi-ring row: square on shell 2 hits
+    shells_lat = np.array([0.0, 0.0, 2.0, 2.0, 0.0, 0.0, 2.0, 2.0])
+    shells_lng = np.array([0.0, 2.0, 2.0, 0.0, 50.0, 52.0, 52.0, 50.0])
+    assert isect(*sq(0.5, 50.5, 1.0), shells_lat, shells_lng, b_rings=[0, 4])
+    assert not isect(*sq(0.5, 20.0, 1.0), shells_lat, shells_lng, b_rings=[0, 4])
+
+
+def test_polygon_intersection_join_multi_ring(spark):
+    """Overlay join with a ring_offsets column: donut A-rows must NOT
+    match B polygons confined to their hole, must match band-overlapping
+    ones, and plain rows in the same table keep the fast path — all
+    against a per-pair ring-aware kernel oracle."""
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np
+    from navgraph_osm_spark.operators.spatial_join import polygon_intersection_join
+
+    def ring(y0, x0, s):
+        return [{"lat": y0, "lng": x0}, {"lat": y0, "lng": x0 + s},
+                {"lat": y0 + s, "lng": x0 + s}, {"lat": y0 + s, "lng": x0}]
+
+    a_rows = [
+        {"a_id": 1, "footprint": ring(0, 0, 10) + ring(3, 3, 4),
+         "ring_offsets": [0, 4]},          # donut
+        {"a_id": 2, "footprint": ring(20, 20, 5), "ring_offsets": None},  # plain
+    ]
+    b_rows = [
+        {"b_id": 10, "footprint": ring(4, 4, 2)},     # inside A1's hole
+        {"b_id": 11, "footprint": ring(0.5, 0.5, 2)}, # in A1's band
+        {"b_id": 12, "footprint": ring(22, 22, 1)},   # inside A2
+        {"b_id": 13, "footprint": ring(40, 40, 1)},   # nowhere
+    ]
+    A = spark.createDataFrame(
+        pd.DataFrame(a_rows),
+        "a_id long, footprint array<struct<lat:double,lng:double>>, "
+        "ring_offsets array<int>",
+    )
+    B = spark.createDataFrame(
+        pd.DataFrame(b_rows),
+        "b_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    got = {(r["a_id"], r["b_id"])
+           for r in polygon_intersection_join(A, B, res=6).collect()}
+
+    def arrs(row):
+        return (np.array([p["lat"] for p in row["footprint"]]),
+                np.array([p["lng"] for p in row["footprint"]]))
+
+    want = {
+        (a["a_id"], b["b_id"])
+        for a in a_rows for b in b_rows
+        if polygons_intersect_np(
+            *arrs(a), *arrs(b), a_rings=a.get("ring_offsets"))
+    }
+    assert got == want == {(1, 11), (2, 12)}
+
+
 def test_polygon_to_cells_center_mode(spark):
     """Exact polyfill in pure codegen: cells whose center the footprint
     contains, vs a numpy oracle (same even-odd kernel over cell centers);
