@@ -318,42 +318,56 @@ def compact_cells(
     """Minimal mixed-resolution covering (H3 ``compact_cells`` analogue):
     wherever all four siblings of a parent are present (per ``keys``
     group), they collapse into the parent, recursively — a tile pyramid's
-    minimal representation.  Input cells are at resolution ``res``; output
+    minimal representation.  Input cells are at resolution ``res``
+    (a SET per keys group — duplicates are deduped first); output
     columns: keys + ``cell`` + ``cell_res``.
 
-    The hierarchy is bit algebra (parent = ``cell >> 2``, marker bit
-    included), so each level is one groupBy on a SHRINKING set with an
-    eager checkpoint + early exit — the adaptive-cell-split shape, ≤
-    ``res`` bounded driver rounds, never per-row Python.
+    ONE-SHOT set algebra, no driver loop (the former implementation ran
+    ≤ ``res`` sequential collapse rounds with per-round checkpoints):
+    recursive sibling collapse is equivalent to mapping every input cell
+    to its HIGHEST ancestor whose full descendant block is present — an
+    ancestor at ``lvl`` levels up is full iff its distinct-descendant
+    count equals 4^lvl, and grandparent fullness implies parent fullness,
+    so intermediate levels are automatic.  Plan: explode each cell's
+    ``res`` ancestors (pure bit shifts) → one count aggregation → keep
+    full ancestors → max-level join back → distinct.  Three shuffles
+    TOTAL at any resolution — the 100 TB shape.
     """
     kcols = list(keys)
-    cur = tiles.select(*kcols, F.col(cell).alias("cell")).withColumn(
-        "cell_res", F.lit(res)
+    base = tiles.select(*kcols, F.col(cell).alias("cell")).distinct()
+    # (cell, lvl, ancestor) for lvl 1..res — bit-shift explode
+    anc = base.select(
+        *kcols,
+        "cell",
+        F.explode(F.sequence(F.lit(1), F.lit(res))).alias("__lvl"),
+    ).withColumn("__anc", F.expr("shiftright(cell, int(__lvl * 2))"))
+    full = (
+        anc.groupBy(*kcols, "__lvl", "__anc")
+        .agg(F.count("*").alias("__n"))
+        # count == 4^lvl → the ancestor's full block is present
+        .filter(F.col("__n") == F.expr("shiftleft(1L, int(__lvl * 2))"))
+        .select(*kcols, "__lvl", "__anc")
     )
-    for r in range(res, 0, -1):
-        cur = cur.localCheckpoint(eager=True)
-        full = (
-            cur.filter(F.col("cell_res") == r)
-            .groupBy(*kcols, F.shiftright("cell", 2).alias("__p"))
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") == 4)
-            .select(*kcols, "__p")
+    best = (
+        anc.join(full, kcols + ["__lvl", "__anc"], "inner")
+        .groupBy(*kcols, "cell")
+        .agg(F.max("__lvl").alias("__up"))
+    )
+    out = (
+        base.join(best, kcols + ["cell"], "left")
+        .select(
+            *kcols,
+            F.when(
+                F.col("__up").isNotNull(),
+                F.expr("shiftright(cell, int(__up * 2))"),
+            ).otherwise(F.col("cell")).alias("cell"),
+            F.coalesce(F.lit(res) - F.col("__up"), F.lit(res)).cast("int").alias(
+                "cell_res"
+            ),
         )
-        if full.isEmpty():
-            break
-        collapsed = full.select(
-            *kcols, F.col("__p").alias("cell"), F.lit(r - 1).alias("cell_res")
-        )
-        # drop exactly the children of full parents (anti join on parent
-        # id per keys group; rows at other resolutions never match)
-        from functools import reduce as _reduce
-
-        conds = [cur[k] == full[k] for k in kcols]
-        conds.append(F.shiftright(cur["cell"], 2) == full["__p"])
-        conds.append(cur["cell_res"] == F.lit(r))
-        survivors = cur.join(full, _reduce(lambda a, b: a & b, conds), "left_anti")
-        cur = survivors.unionByName(collapsed)
-    return cur
+        .distinct()
+    )
+    return out
 
 
 def uncompact_cells(

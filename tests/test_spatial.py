@@ -846,6 +846,72 @@ def test_polygons_intersect_pairwise_matches_per_pair():
     assert polygons_intersect_pairwise_np(cl[0], cl[1], op[0], op[1])[0]
 
 
+def test_compact_cells_matches_recursive_reference(spark):
+    """The one-shot highest-full-ancestor algorithm must equal a literal
+    recursive sibling-collapse reference on random cell sets (including
+    full 4^k blocks planted at several depths), and the exact uncompact
+    round trip must hold."""
+    from navgraph_osm_spark.operators.spatial_join import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    res = 7
+    rng = np.random.default_rng(29)
+    rows = []
+    expected_sets = {}
+    for img in ("A", "B", "C"):
+        cs = set()
+        # random scatter
+        lat = rng.uniform(-80, 80, 40)
+        lng = rng.uniform(-170, 170, 40)
+        cs |= {int(c) for c in cells.latlng_to_cell(lat, lng, res)}
+        # planted full blocks at depth 1 and 2
+        anc1 = int(cells.latlng_to_cell(
+            np.array([rng.uniform(-60, 60)]), np.array([rng.uniform(-150, 150)]),
+            res - 1)[0])
+        cs |= {(anc1 << 2) + i for i in range(4)}
+        anc2 = int(cells.latlng_to_cell(
+            np.array([rng.uniform(-60, 60)]), np.array([rng.uniform(-150, 150)]),
+            res - 2)[0])
+        cs |= {(anc2 << 4) + i for i in range(16)}
+        rows += [(img, c) for c in sorted(cs)]
+        expected_sets[img] = cs
+
+    def recursive_collapse(cs: set, r: int) -> set:
+        cur = {(c, r) for c in cs}
+        changed = True
+        while changed:
+            changed = False
+            from collections import defaultdict
+
+            groups = defaultdict(set)
+            for c, cr in cur:
+                groups[(c >> 2, cr)].add((c, cr))
+            for (p, cr), members in groups.items():
+                if cr > 0 and len(members) == 4:
+                    cur -= members
+                    cur.add((p, cr - 1))
+                    changed = True
+        return cur
+
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "cell"]),
+        "image_id string, cell long",
+    )
+    comp = compact_cells(tiles, res)
+    got = {}
+    for r in comp.collect():
+        got.setdefault(r["image_id"], set()).add((r["cell"], r["cell_res"]))
+    for img, cs in expected_sets.items():
+        assert got[img] == recursive_collapse(cs, res), img
+    restored = {
+        (r["image_id"], r["cell"])
+        for r in uncompact_cells(compact_cells(tiles, res), res).collect()
+    }
+    assert restored == {(i, c) for i, c in rows}
+
+
 def test_polygons_intersect_multi_ring_kernel():
     """Ring-aware intersection kernel: a shape entirely inside the
     other's HOLE reports False; crossing into the band, containing the
