@@ -51,6 +51,29 @@ def streaming_geofence_join(
     )
 
 
+def streaming_proximity_join(
+    points_stream: DataFrame,
+    places: DataFrame,
+    radius_km: float,
+    res: int,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+) -> DataFrame:
+    """Stream-static PROXIMITY alerts: one row per (streamed point,
+    static place) within ``radius_km`` — ``operators.knn.distance_join``
+    applied with the stream on the LEFT (one cell per streamed row, pure
+    codegen) and the static place table on the exploded right (its
+    per-row adaptive grid disks are planned once).  Stateless, append-
+    safe; the kNN variant is NOT stream-safe (its top-k window needs
+    cross-row state) — use this radius form for alerting."""
+    from navgraph_osm_spark.operators.knn import distance_join
+
+    return distance_join(
+        points_stream, places, radius_km, res,
+        left_id=left_id, right_id=right_id,
+    )
+
+
 TRANSITIONS_SCHEMA = "point_id long, ts timestamp, zone long, event string"
 # state: the zone set after the last processed ping + that ping's epoch µs
 _TRANS_STATE_SCHEMA = "zones array<long>, last_us long"

@@ -434,6 +434,58 @@ def test_streaming_geofence_transitions(spark, tmp_path_factory):
     assert {ev for _, _, _, ev in want} == {"enter", "exit"}
 
 
+def test_streaming_proximity_join_matches_batch(spark, tmp_path_factory):
+    """Stream-static proximity alerts: the streamed distance join must
+    equal the batch distance join pair-for-pair across micro-batches."""
+    from navgraph_osm_spark.operators.knn import distance_join
+    from navgraph_osm_spark.streaming.events import run_to_memory
+    from navgraph_osm_spark.streaming.spatial import streaming_proximity_join
+
+    rng = np.random.default_rng(41)
+    n = 600
+    pdf = pd.DataFrame({
+        "left_id": np.arange(n, dtype=np.int64),
+        "lat": rng.uniform(48.0, 49.5, n),
+        "lng": rng.uniform(1.5, 3.5, n),
+    })
+    d = tmp_path_factory.mktemp("prox_stream")
+    import shutil
+
+    for i in range(3):
+        tmp = d / f"w{i}"
+        spark.createDataFrame(pdf.iloc[i * 200:(i + 1) * 200]).coalesce(1)\
+            .write.parquet(str(tmp))
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(tmp / src, d / f"part-{i}.parquet")
+        shutil.rmtree(tmp)
+    places = spark.createDataFrame(pd.DataFrame({
+        "right_id": np.arange(25, dtype=np.int64),
+        "lat": rng.uniform(48.0, 49.5, 25),
+        "lng": rng.uniform(1.5, 3.5, 25),
+    })).localCheckpoint(eager=True)
+
+    batch = spark.read.parquet(str(d))
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in distance_join(batch, places, 10.0, res=9).collect()
+    }
+    assert want, "fixture must produce pairs"
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("left_id long, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    out = streaming_proximity_join(stream, places, 10.0, res=9)
+    run_to_memory(out, "prox_out", mode="append")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.sql("SELECT * FROM prox_out").collect()
+    }
+    assert got == want
+
+
 def test_streaming_session_windows(spark, events_dir):
     from navgraph_osm_spark.streaming.events import read_events_stream, run_to_memory, session_windows
 
