@@ -197,6 +197,15 @@ def polygon_to_cells(
     - ``mode="overlap"``: the bbox covering (conservative superset,
       :func:`covering_cells` — an image overlaps every bbox cell, the
       tile-assignment semantics).
+    - ``mode="exact_overlap"``: EXACTLY the cells whose square intersects
+      the polygon — the union of the boundary's supercover
+      (:func:`polyline_to_cells` over the closed ring: any cell the
+      boundary passes through intersects) and the center-mode interior
+      (a cell with no boundary crossing is either fully inside — its
+      center is — or fully outside).  Both legs stay pure codegen; ONE
+      distinct merges them (boundary cells re-appear in the interior
+      leg only when the center also falls inside).  Tightest possible
+      tiling for non-rectangular footprints.
 
     Single-ring footprints (multi-ring rows: polyfill per ring upstream
     and EXCEPT hole cells, or use the PIP join's ``ring_offsets`` path).
@@ -206,6 +215,14 @@ def polygon_to_cells(
         return covering_cells(polygons.select(poly_id, fp), res, fp).select(
             poly_id, "cell"
         )
+    if mode == "exact_overlap":
+        closed = F.concat(F.col(fp), F.slice(F.col(fp), 1, 1))
+        boundary = polyline_to_cells(
+            polygons.select(poly_id, closed.alias("geometry")),
+            res, line_id=poly_id,
+        )
+        interior = polygon_to_cells(polygons, res, poly_id, fp, mode="center")
+        return boundary.unionByName(interior).distinct()
     if mode != "center":
         raise ValueError(f"unknown mode {mode!r}")
     from navgraph_osm_spark.functions.geo import point_in_ring_expr

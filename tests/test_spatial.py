@@ -1054,6 +1054,58 @@ def test_polygon_to_cells_center_mode(spark):
     assert "Python" not in plan and "MapInPandas" not in plan
 
 
+def test_polygon_to_cells_exact_overlap(spark):
+    """exact_overlap = boundary supercover ∪ center-interior must equal
+    the literal cell-square-vs-polygon intersection test over every bbox
+    cell (the per-pair kernel with the cell rectangle as the other
+    polygon), on triangles, slivers and a hexagon."""
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np
+    from navgraph_osm_spark.operators.spatial_join import polygon_to_cells
+
+    res = 7
+    n = 1 << res
+    polys = [
+        {"poly_id": 1, "footprint": [
+            {"lat": 10.1, "lng": 0.2}, {"lat": 10.1, "lng": 20.3},
+            {"lat": 25.2, "lng": 0.2}]},
+        {"poly_id": 2, "footprint": [
+            {"lat": -40.1, "lng": -30.2}, {"lat": -39.1, "lng": -29.2},
+            {"lat": -10.1, "lng": 0.3}, {"lat": -11.1, "lng": -0.7}]},
+        {"poly_id": 3, "footprint": [
+            {"lat": 50.1 + 5 * np.sin(t), "lng": 100.2 + 8 * np.cos(t)}
+            for t in np.linspace(0.1, 0.1 + 2 * np.pi, 6, endpoint=False)]},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(polys),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    got = {
+        (r["poly_id"], r["cell"])
+        for r in polygon_to_cells(df, res, mode="exact_overlap").collect()
+    }
+    want = set()
+    for p in polys:
+        fl = np.array([v["lat"] for v in p["footprint"]])
+        fg = np.array([v["lng"] for v in p["footprint"]])
+        x0 = int(np.clip((fg.min() + 180.0) / 360.0 * n, 0, n - 1))
+        x1 = int(np.clip((fg.max() + 180.0) / 360.0 * n, 0, n - 1))
+        y0 = int(np.clip((90.0 - fl.max()) / 180.0 * n, 0, n - 1))
+        y1 = int(np.clip((90.0 - fl.min()) / 180.0 * n, 0, n - 1))
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                cl0 = 90.0 - (y + 1) * 180.0 / n
+                cl1 = 90.0 - y * 180.0 / n
+                cg0 = x * 360.0 / n - 180.0
+                cg1 = (x + 1) * 360.0 / n - 180.0
+                sq_lat = np.array([cl0, cl0, cl1, cl1])
+                sq_lng = np.array([cg0, cg1, cg1, cg0])
+                if polygons_intersect_np(fl, fg, sq_lat, sq_lng):
+                    want.add((p["poly_id"], int(cells.xy_to_cell(
+                        np.array([x]), np.array([y]), res)[0])))
+    assert got == want
+    assert want
+
+
 def test_polyline_to_cells_supercover(spark):
     """Line rasterization: every densely-sampled point of each way lands
     in an emitted cell (completeness), every emitted cell's closed bbox
