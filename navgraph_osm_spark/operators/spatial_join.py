@@ -642,7 +642,8 @@ def clip_ring_at_meridian_np(lats: np.ndarray, lngs: np.ndarray):
 
 
 def split_antimeridian(
-    polygons: DataFrame, poly_id: str = "poly_id", fp: str = "footprint"
+    polygons: DataFrame, poly_id: str = "poly_id", fp: str = "footprint",
+    rings: str = "ring_offsets",
 ) -> DataFrame:
     """Preprocess a polygon table so no footprint straddles ±180°.
 
@@ -654,35 +655,86 @@ def split_antimeridian(
     shell's bbox is tight — without the split, a Fiji-straddling
     footprint's bbox spans nearly all longitudes and covering-cell
     expansion degenerates to a full cell row (see SCALE.md).  Dim-table
-    transform (Arrow-batched, not a hot path); single-ring polygons only
-    — multi-ring rows should be split per ring upstream.
+    transform (Arrow-batched, not a hot path).
+
+    MULTI-RING rows (a ``rings`` column, when present): every ring is
+    clipped independently at the seam; each side's surviving ring parts
+    (outer part first, then hole parts — a hole lies inside its outer,
+    so its west part lies inside the outer's west part) reassemble into
+    that side's row with rebuilt ring offsets.  A side with no
+    outer-ring part emits nothing.
     """
-    schema = polygons.select(poly_id, fp).schema
+    has_rings = rings in polygons.columns
+    cols = [poly_id, fp] + ([rings] if has_rings else [])
+    schema = polygons.select(*cols).schema
+
+    def _split_row(footprint, offsets):
+        """→ list of (footprint_list, offsets_list|None) output rows."""
+        la = np.array([p["lat"] for p in footprint])
+        ln = np.array([p["lng"] for p in footprint])
+        starts = (
+            [int(s) for s in offsets]
+            if offsets is not None and len(offsets) > 1
+            else [0]
+        )
+        bounds = starts + [la.size]
+        ring_arrays = [
+            (la[a:b], ln[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        if all(
+            rl.size == 0 or (rn.max() - rn.min()) <= 180.0
+            for rl, rn in ring_arrays
+        ):
+            return [(list(footprint), offsets)]  # nothing straddles
+        sides: list[list[tuple[np.ndarray, np.ndarray]]] = [[], []]
+        for ri, (rl, rn) in enumerate(ring_arrays):
+            parts = clip_ring_at_meridian_np(rl, rn)
+            if parts is None:
+                # non-straddling ring: attach whole to the side its
+                # longitudes lie on (shifted-space test, same convention
+                # as the clip)
+                side = 0 if (np.where(rn < 0, rn + 360.0, rn) <= 180.0).all() else 1
+                sides[side].append((rl, rn))
+                continue
+            for side, (plat, plng) in enumerate(parts):
+                if plat.size >= 3:
+                    sides[side].append((plat, plng))
+        out = []
+        for side_rings in sides:
+            if not side_rings:
+                continue
+            flat = [
+                {"lat": float(a), "lng": float(b)}
+                for rl, rn in side_rings
+                for a, b in zip(rl, rn)
+            ]
+            offs, acc = [], 0
+            for rl, _rn in side_rings:
+                offs.append(acc)
+                acc += rl.size
+            out.append((flat, offs if len(offs) > 1 else None))
+        return out
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids: list = []
             fps: list = []
-            for pid, footprint in zip(pdf[poly_id], pdf[fp]):
-                la = np.array([p["lat"] for p in footprint])
-                ln = np.array([p["lng"] for p in footprint])
-                parts = clip_ring_at_meridian_np(la, ln)
-                if parts is None:
+            offs_out: list = []
+            offsets_col = pdf[rings] if has_rings else None
+            for i, (pid, footprint) in enumerate(zip(pdf[poly_id], pdf[fp])):
+                offsets = offsets_col.iloc[i] if offsets_col is not None else None
+                if offsets is not None and len(offsets) == 0:
+                    offsets = None
+                for flat, offs in _split_row(footprint, offsets):
                     ids.append(pid)
-                    fps.append(list(footprint))
-                    continue
-                for plat, plng in parts:
-                    if plat.size >= 3:
-                        ids.append(pid)
-                        fps.append(
-                            [{"lat": float(a), "lng": float(b)}
-                             for a, b in zip(plat, plng)]
-                        )
-            yield pd.DataFrame({poly_id: ids, fp: pd.Series(fps, dtype="object")})
+                    fps.append(flat)
+                    offs_out.append(offs)
+            data = {poly_id: ids, fp: pd.Series(fps, dtype="object")}
+            if has_rings:
+                data[rings] = pd.Series(offs_out, dtype="object")
+            yield pd.DataFrame(data)
 
-    return polygons.select(poly_id, fp).mapInPandas(
-        _kernel, schema=schema
-    )
+    return polygons.select(*cols).mapInPandas(_kernel, schema=schema)
 
 
 _REFINE_HELP_COLS = ("__plat", "__plng", "__fp_lat", "__fp_lng")
@@ -745,7 +797,11 @@ def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
     """Refinement with the polygon table shipped once per executor (broadcast)
     instead of per candidate row — the polygon side is a dim table (the
     reference's restriction-broadcast pattern, SURVEY.md §2.3 J8/J9).
-    Map values are (fp_lat, fp_lng, ring_starts|None) triples."""
+    Map values are LISTS of (fp_lat, fp_lng, ring_starts|None) triples: an
+    id may map to several geometry PARTS (``split_antimeridian`` emits
+    seam-sharing parts under one id) — a point is inside the polygon iff
+    it is inside ANY part, and parts are lng-disjoint so a (point, id)
+    pair still survives at most one candidate row."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         polys = poly_bc.value
@@ -763,11 +819,16 @@ def _refine_kernel_broadcast(id_cols: list[str], poly_bc):
             bounds = np.append(starts, n)
             for s, e in zip(bounds[:-1], bounds[1:]):
                 idx = order[s:e]
-                fp_lat, fp_lng, ring_starts = polys[pid[idx[0]]]
-                keep[idx] = points_in_polygon_np(
-                    plat[idx], plng[idx], fp_lat, fp_lng,
-                    ring_starts=ring_starts,
-                )
+                inside = np.zeros(idx.size, dtype=bool)
+                for fp_lat, fp_lng, ring_starts in polys[pid[idx[0]]]:
+                    rem = ~inside
+                    if not rem.any():
+                        break
+                    inside[rem] = points_in_polygon_np(
+                        plat[idx[rem]], plng[idx[rem]], fp_lat, fp_lng,
+                        ring_starts=ring_starts,
+                    )
+                keep[idx] = inside
             yield pdf[keep][id_cols]
 
     return _kernel
@@ -960,15 +1021,15 @@ def point_in_polygon_join(
             and sum(r["nv"] for r in probe) <= BROADCAST_VERTEX_LIMIT
         )
         if broadcast_polys:
-            probed_map = {
-                r[poly_id]: (
+            probed_map = {}
+            for r in probe:
+                if r["rect"]:
+                    continue
+                probed_map.setdefault(r[poly_id], []).append((
                     np.array([p["lat"] for p in r["__fp"]], dtype=np.float64),
                     np.array([p["lng"] for p in r["__fp"]], dtype=np.float64),
                     r["__rings"],
-                )
-                for r in probe
-                if not r["rect"]
-            }
+                ))
     if n_nonrect == 0:
         return rect_hits
 
@@ -1020,14 +1081,13 @@ def point_in_polygon_join(
                     & single_ring
                 )
             )
-            poly_map = {
-                r[poly_id]: (
+            poly_map = {}
+            for r in nonrect.select(*poly_cols).collect():
+                poly_map.setdefault(r[poly_id], []).append((
                     np.array([p["lat"] for p in r[fp]], dtype=np.float64),
                     np.array([p["lng"] for p in r[fp]], dtype=np.float64),
                     r[rings] if has_rings else None,
-                )
-                for r in nonrect.select(*poly_cols).collect()
-            }
+                ))
         kernel = _refine_kernel_broadcast(
             [point_id, poly_id, *carry], sc.broadcast(poly_map)
         )

@@ -494,7 +494,7 @@ def test_tile_assignment_plans_zero_shuffle(spark):
     assert "HashAggregate" in plan2
 
 
-def test_split_antimeridian():
+def test_split_antimeridian(spark):
     """A footprint straddling ±180° splits into tight west/east shells
     sharing the poly id; the PIP join over the split output finds points
     on BOTH sides of the seam with unique pairs, and non-straddling rows
@@ -523,7 +523,6 @@ def test_split_antimeridian():
             {"lat": 5.0, "lng": 1.0}, {"lat": 5.0, "lng": 2.0},
             {"lat": 6.0, "lng": 2.0}, {"lat": 6.0, "lng": 1.0}]},
     ]
-    spark = __import__("pyspark").sql.SparkSession.getActiveSession()
     polys = spark.createDataFrame(
         pd.DataFrame(spark_df_rows),
         "poly_id long, footprint array<struct<lat:double,lng:double>>",
@@ -553,6 +552,59 @@ def test_split_antimeridian():
     # keeps candidate bboxes tight:
     n_cells = covering_cells(split.filter("poly_id = 1"), 6).count()
     assert n_cells <= 16, n_cells  # two tight shells, not a full lng row
+
+
+def test_split_antimeridian_multi_ring(spark):
+    """A DONUT straddling ±180° splits into two donut halves — each side
+    keeps its outer part plus its hole part with rebuilt ring_offsets —
+    and the PIP join over the split output honors hole semantics on both
+    sides of the seam (band points match, in-hole points do not)."""
+    from navgraph_osm_spark.operators.spatial_join import split_antimeridian
+
+    def ring(lat0, lat1, lng_w, lng_e):
+        # perimeter order across the seam (west lngs positive, east negative)
+        return [
+            {"lat": lat0, "lng": lng_w}, {"lat": lat0, "lng": lng_e},
+            {"lat": lat1, "lng": lng_e}, {"lat": lat1, "lng": lng_w},
+        ]
+
+    rows = [
+        {"poly_id": 1,
+         "footprint": ring(0.0, 10.0, 170.0, -170.0)      # outer, 20° wide
+         + ring(3.0, 7.0, 176.0, -176.0),                  # hole, 8° wide
+         "ring_offsets": [0, 4]},
+        {"poly_id": 2,  # plain non-straddling donut passes through intact
+         "footprint": ring(0.0, 10.0, 10.0, 30.0) + ring(3.0, 7.0, 16.0, 24.0),
+         "ring_offsets": [0, 4]},
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>, "
+        "ring_offsets array<int>",
+    )
+    split = split_antimeridian(polys)
+    got = split.collect()
+    assert sorted(r["poly_id"] for r in got) == [1, 1, 2]
+    for r in got:
+        lngs = [p["lng"] for p in r["footprint"]]
+        assert max(lngs) - min(lngs) <= 180.0, r["poly_id"]
+        if r["poly_id"] == 1:
+            assert list(r["ring_offsets"] or []) and len(r["ring_offsets"]) == 2
+    p2 = [r for r in got if r["poly_id"] == 2][0]
+    assert [(p["lat"], p["lng"]) for p in p2["footprint"]] == [
+        (p["lat"], p["lng"]) for p in rows[1]["footprint"]]
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [1, 2, 3, 4, 5],
+        "lat": [5.0, 5.0, 5.0, 5.0, 5.0],
+        # west band, east band, west hole, east hole, far away
+        "lng": [172.0, -172.0, 178.0, -178.0, 0.0],
+    }))
+    pairs = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(pts, split, res=6).collect()
+    }
+    assert pairs == {(1, 1), (2, 1)}
 
 
 def test_polygons_intersect_kernel_cases():
