@@ -74,6 +74,106 @@ def streaming_proximity_join(
     )
 
 
+KNN_TRACKER_SCHEMA = (
+    "query_id long, point_id long, dist_km double, rank int, version long"
+)
+_KNN_STATE_SCHEMA = "pids array<long>, dists array<double>, version long"
+
+
+def streaming_knn_tracker(
+    points_stream: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    ring: int,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """RUNNING k-nearest-neighbors per static query over a point STREAM —
+    the stream-safe kNN (the batch operator's top-k window needs
+    cross-row state, which streaming disallows; here the state is an
+    explicit bounded top-k per query).
+
+    Plan: static queries explode their grid disk ONCE (planned, tiny);
+    streamed points get one cell in codegen; a stream-static equi join on
+    ``cell`` + codegen haversine yields the candidate stream; then
+    ``applyInPandasWithState`` keyed by ``query_id`` folds candidates
+    into a size-k (dist, point_id) heap-kept list.  Each micro-batch
+    emits the query's CURRENT top-k tagged with a monotonically
+    increasing ``version`` — consumers keep the max-version snapshot.
+    State is O(k) per query — bounded forever.
+
+    Completeness matches the batch semantics for points within the
+    ring's coverage: candidates outside the disk never enter the state
+    (same contract as :func:`operators.knn.knn_join` at fixed ring).
+    The stream is assumed exactly-once per point (dedup upstream for
+    at-least-once sources — a replayed point would re-insert).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from navgraph_osm_spark.cells import cell_from_xy_expr, grid_disk_expr, xy_expr
+    from navgraph_osm_spark.functions.geo import haversine_expr
+
+    qx, qy = xy_expr(F.col("lat"), F.col("lng"), res)
+    qdisk = (
+        queries.select(
+            F.col(query_id),
+            F.col("lat").alias("q_lat"),
+            F.col("lng").alias("q_lng"),
+            F.explode(grid_disk_expr(qx, qy, res, ring)).alias("nb"),
+        )
+        .withColumn("cell", cell_from_xy_expr(F.col("nb.x"), F.col("nb.y"), res))
+        .drop("nb")
+    )
+    px, py = xy_expr(F.col("lat"), F.col("lng"), res)
+    pts = points_stream.select(
+        F.col(point_id),
+        F.col("lat").alias("p_lat"),
+        F.col("lng").alias("p_lng"),
+        cell_from_xy_expr(px, py, res).alias("cell"),
+    )
+    cand = pts.join(qdisk, "cell").select(
+        query_id,
+        point_id,
+        haversine_expr(
+            F.col("q_lat"), F.col("q_lng"), F.col("p_lat"), F.col("p_lng")
+        ).alias("dist_km"),
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pids, dists, version = (
+            (list(state.get[0]), list(state.get[1]), state.get[2])
+            if state.exists
+            else ([], [], 0)
+        )
+        cur = list(zip(dists, pids))
+        for pdf in pdfs:
+            for d, p in zip(pdf["dist_km"], pdf[point_id]):
+                cur.append((float(d), int(p)))
+        # deterministic order: distance, then point id (ties)
+        cur.sort()
+        cur = cur[:k]
+        version += 1
+        state.update(([p for _, p in cur], [d for d, _ in cur], version))
+        return iter([pd.DataFrame({
+            "query_id": [key[0]] * len(cur),
+            "point_id": [p for _, p in cur],
+            "dist_km": [d for d, _ in cur],
+            "rank": list(range(1, len(cur) + 1)),
+            "version": [version] * len(cur),
+        })])
+
+    return cand.groupBy(query_id).applyInPandasWithState(
+        _update,
+        outputStructType=KNN_TRACKER_SCHEMA,
+        stateStructType=_KNN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 TRANSITIONS_SCHEMA = "point_id long, ts timestamp, zone long, event string"
 # state: the zone set after the last processed ping + that ping's epoch µs
 _TRANS_STATE_SCHEMA = "zones array<long>, last_us long"

@@ -486,6 +486,64 @@ def test_streaming_proximity_join_matches_batch(spark, tmp_path_factory):
     assert got == want
 
 
+def test_streaming_knn_tracker_matches_batch(spark, tmp_path_factory):
+    """Running top-k per static query over a point stream: after all
+    micro-batches drain, each query's max-version snapshot must equal the
+    batch brute-force kNN over the full point set (ring sized to cover
+    the whole fixture region, so completeness is exact)."""
+    from navgraph_osm_spark.operators.knn import knn_join_bruteforce
+    from navgraph_osm_spark.streaming.events import run_to_memory
+    from navgraph_osm_spark.streaming.spatial import streaming_knn_tracker
+
+    rng = np.random.default_rng(55)
+    n = 450
+    pdf = pd.DataFrame({
+        "point_id": np.arange(n, dtype=np.int64),
+        "lat": rng.uniform(48.0, 49.0, n),
+        "lng": rng.uniform(2.0, 3.0, n),
+    })
+    d = tmp_path_factory.mktemp("knn_stream")
+    import shutil
+
+    for i in range(3):
+        tmp = d / f"w{i}"
+        spark.createDataFrame(pdf.iloc[i * 150:(i + 1) * 150]).coalesce(1)\
+            .write.parquet(str(tmp))
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(tmp / src, d / f"part-{i}.parquet")
+        shutil.rmtree(tmp)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(8, dtype=np.int64),
+        "lat": rng.uniform(48.2, 48.8, 8),
+        "lng": rng.uniform(2.2, 2.8, 8),
+    })).localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("point_id long, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    # res 7 cells are ~1.4 deg: ring 2 covers the whole 1-deg fixture box
+    out = streaming_knn_tracker(stream, queries, k=5, res=7, ring=2)
+    run_to_memory(out, "knn_track_out", mode="update")
+    snap = spark.sql("""
+        SELECT query_id, point_id, dist_km, rank FROM (
+          SELECT *, max(version) OVER (PARTITION BY query_id) AS vmax
+          FROM knn_track_out) WHERE version = vmax
+    """).collect()
+    got = {(r["query_id"], r["rank"]): (r["point_id"], round(r["dist_km"], 9))
+           for r in snap}
+
+    batch = spark.read.parquet(str(d))
+    want = {
+        (r["query_id"], r["rank"]): (r["point_id"], round(r["dist_km"], 9))
+        for r in knn_join_bruteforce(batch, queries, k=5).collect()
+    }
+    assert got == want
+    assert len(want) == 8 * 5
+
+
 def test_streaming_session_windows(spark, events_dir):
     from navgraph_osm_spark.streaming.events import read_events_stream, run_to_memory, session_windows
 
