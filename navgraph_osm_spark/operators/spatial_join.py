@@ -182,6 +182,7 @@ def polygon_to_cells(
     poly_id: str = "poly_id",
     fp: str = "footprint",
     mode: str = "center",
+    rings: str = "ring_offsets",
 ) -> DataFrame:
     """EXACT polyfill (H3 ``polygonToCells`` analogue): the cells of each
     footprint at resolution ``res``.
@@ -207,27 +208,73 @@ def polygon_to_cells(
       leg only when the center also falls inside).  Tightest possible
       tiling for non-rectangular footprints.
 
-    Single-ring footprints (multi-ring rows: polyfill per ring upstream
-    and EXCEPT hole cells, or use the PIP join's ``ring_offsets`` path).
-    Output (poly_id, cell), unique per row by construction.
+    MULTI-RING footprints (a ``rings`` column with start offsets): the
+    center test sums crossings across ring slices — the column twin of
+    the numpy kernel's ``ring_starts`` — so hole cells are excluded and
+    separated shells each fill their own cells; ``exact_overlap``
+    rasterizes every ring's boundary.  (``mode="overlap"`` stays the
+    single-bbox covering.)  Output (poly_id, cell), unique per row by
+    construction.
     """
+    has_rings = rings in polygons.columns
     if mode == "overlap":
         return covering_cells(polygons.select(poly_id, fp), res, fp).select(
             poly_id, "cell"
         )
     if mode == "exact_overlap":
-        closed = F.concat(F.col(fp), F.slice(F.col(fp), 1, 1))
-        boundary = polyline_to_cells(
-            polygons.select(poly_id, closed.alias("geometry")),
-            res, line_id=poly_id,
-        )
-        interior = polygon_to_cells(polygons, res, poly_id, fp, mode="center")
+        if has_rings:
+            # one boundary row PER RING: explode ring slices, rasterize each
+            n_fp = F.size(F.col(fp))
+            starts = F.when(
+                F.col(rings).isNull() | (F.size(F.col(rings)) == 0),
+                F.array(F.lit(0)),
+            ).otherwise(F.col(rings))
+            ends = F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(n_fp),
+            )
+            b = F.explode(F.arrays_zip(starts.alias("s"), ends.alias("e")))
+            ring_rows = polygons.select(F.col(poly_id), F.col(fp), b.alias("__b"))
+            sub = F.slice(F.col(fp), F.col("__b.s") + 1,
+                          F.col("__b.e") - F.col("__b.s"))
+            boundary = polyline_to_cells(
+                ring_rows.select(
+                    poly_id, F.concat(sub, F.slice(sub, 1, 1)).alias("geometry")
+                ),
+                res, line_id=poly_id,
+            ).distinct()  # seam cells shared by two rings appear once
+        else:
+            closed = F.concat(F.col(fp), F.slice(F.col(fp), 1, 1))
+            boundary = polyline_to_cells(
+                polygons.select(poly_id, closed.alias("geometry")),
+                res, line_id=poly_id,
+            )
+        interior = polygon_to_cells(polygons, res, poly_id, fp, mode="center",
+                                    rings=rings)
         return boundary.unionByName(interior).distinct()
     if mode != "center":
         raise ValueError(f"unknown mode {mode!r}")
     from navgraph_osm_spark.functions.geo import point_in_ring_expr
 
     n = 1 << res
+    if has_rings:
+        # per-ring coverings would DROP hole-only candidate cells — fine:
+        # hole cells are excluded by parity anyway, and separated shells
+        # cover only their own cells (tight)
+        base = polygons.select(poly_id, fp, rings)
+        cov = covering_cells(base, res, fp, keep_bbox=True, rings=rings)
+        # per-ring covering path has no cx/cy: rebuild from the cell id is
+        # avoidable — recompute center from cell bounds expr instead
+        from navgraph_osm_spark.cells import cell_bounds_expr
+
+        lat_min_c, lat_max_c, lng_min_c, lng_max_c = cell_bounds_expr(
+            F.col("cell"), res
+        )
+        center_lat = (lat_min_c + lat_max_c) / F.lit(2.0)
+        center_lng = (lng_min_c + lng_max_c) / F.lit(2.0)
+        return cov.filter(
+            point_in_ring_expr(center_lat, center_lng, F.col(fp), F.col(rings))
+        ).select(poly_id, "cell")
     cov = covering_cells(polygons.select(poly_id, fp), res, fp, keep_xy=True)
     center_lat = F.lit(90.0) - (F.col("cy") + F.lit(0.5)) * F.lit(180.0 / n)
     center_lng = (F.col("cx") + F.lit(0.5)) * F.lit(360.0 / n) - F.lit(180.0)

@@ -1158,6 +1158,95 @@ def test_polygon_to_cells_exact_overlap(spark):
     assert want
 
 
+def test_polygon_to_cells_multi_ring(spark):
+    """Ring-aware polyfill: center mode excludes hole cells and fills
+    each separated shell; exact_overlap mode equals the literal
+    cell-square-vs-multi-ring-polygon intersection oracle (the ring-aware
+    pair kernel with each cell's rectangle)."""
+    from navgraph_osm_spark.functions.geo import polygons_intersect_np
+    from navgraph_osm_spark.operators.spatial_join import polygon_to_cells
+
+    res = 7
+    n = 1 << res
+
+    def ring(lat0, lat1, lng0, lng1):
+        return [{"lat": lat0, "lng": lng0}, {"lat": lat0, "lng": lng1},
+                {"lat": lat1, "lng": lng1}, {"lat": lat1, "lng": lng0}]
+
+    polys = [
+        # donut: 20x20 deg outer, 8x8 hole
+        {"poly_id": 1, "footprint": ring(0.3, 20.3, 0.2, 20.2)
+         + ring(6.3, 14.3, 6.2, 14.2), "ring_offsets": [0, 4]},
+        # two separated shells
+        {"poly_id": 2, "footprint": ring(-50.3, -44.3, -100.2, -94.2)
+         + ring(-50.3, -44.3, -40.2, -34.2), "ring_offsets": [0, 4]},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(polys),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>, "
+        "ring_offsets array<int>",
+    )
+
+    def bbox_cells(p):
+        fl = np.array([v["lat"] for v in p["footprint"]])
+        fg = np.array([v["lng"] for v in p["footprint"]])
+        x0 = int(np.clip((fg.min() + 180.0) / 360.0 * n, 0, n - 1))
+        x1 = int(np.clip((fg.max() + 180.0) / 360.0 * n, 0, n - 1))
+        y0 = int(np.clip((90.0 - fl.max()) / 180.0 * n, 0, n - 1))
+        y1 = int(np.clip((90.0 - fl.min()) / 180.0 * n, 0, n - 1))
+        return fl, fg, x0, x1, y0, y1
+
+    # center mode
+    got_c = {
+        (r["poly_id"], r["cell"])
+        for r in polygon_to_cells(df, res, mode="center").collect()
+    }
+    want_c = set()
+    for p in polys:
+        fl, fg, x0, x1, y0, y1 = bbox_cells(p)
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                clat = 90.0 - (y + 0.5) * 180.0 / n
+                clng = (x + 0.5) * 360.0 / n - 180.0
+                if points_in_polygon_np(
+                    np.array([clat]), np.array([clng]), fl, fg,
+                    ring_starts=p["ring_offsets"],
+                )[0]:
+                    want_c.add((p["poly_id"], int(cells.xy_to_cell(
+                        np.array([x]), np.array([y]), res)[0])))
+    assert got_c == want_c
+    # holes actually excluded, shells actually separated
+    assert len({c for pid, c in want_c if pid == 1}) > 0
+    hole_center = int(cells.latlng_to_cell(
+        np.array([10.3]), np.array([10.2]), res)[0])
+    assert (1, hole_center) not in got_c
+
+    # exact overlap mode vs the ring-aware cell-square oracle
+    got_o = {
+        (r["poly_id"], r["cell"])
+        for r in polygon_to_cells(df, res, mode="exact_overlap").collect()
+    }
+    want_o = set()
+    for p in polys:
+        fl, fg, x0, x1, y0, y1 = bbox_cells(p)
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                cl0 = 90.0 - (y + 1) * 180.0 / n
+                cl1 = 90.0 - y * 180.0 / n
+                cg0 = x * 360.0 / n - 180.0
+                cg1 = (x + 1) * 360.0 / n - 180.0
+                if polygons_intersect_np(
+                    fl, fg,
+                    np.array([cl0, cl0, cl1, cl1]),
+                    np.array([cg0, cg1, cg1, cg0]),
+                    a_rings=p["ring_offsets"],
+                ):
+                    want_o.add((p["poly_id"], int(cells.xy_to_cell(
+                        np.array([x]), np.array([y]), res)[0])))
+    assert got_o == want_o
+    assert want_o > want_c  # boundary cells beyond the center fill
+
+
 def test_polyline_to_cells_supercover(spark):
     """Line rasterization: every densely-sampled point of each way lands
     in an emitted cell (completeness), every emitted cell's closed bbox
