@@ -203,7 +203,7 @@ def distance_join(
     left_id: str = "left_id",
     right_id: str = "right_id",
     max_abs_lat: float | None = None,
-    adaptive_ring: bool = True,
+    adaptive_ring: bool | None = None,
 ) -> DataFrame:
     """Within-distance (range) join: every (left, right) pair with
     haversine distance ≤ ``radius_km`` — the third classic spatial join
@@ -216,19 +216,29 @@ def distance_join(
     by construction (a left row is in exactly one cell; a right row's disk
     contains each cell at most once) — no dedup shuffle.
 
-    Ring sizing (``adaptive_ring=True``, the default): PER ROW and
-    ASYMMETRIC — the latitude extent needs ``ceil(r / cell_h) + 1`` rows
-    everywhere (cells never narrow in latitude); the longitude extent
-    evaluates the cell width at the most poleward latitude reachable
-    within ``radius_km`` of the row (plus one cell extent of floor
-    slack).  Equatorial rows explode a 3×3 disk; poleward rows widen
-    only in longitude (a (2kx+1)×(2ky+1) rectangle, not the square of
-    the worse axis).  The plan stays fully lazy (no sizing job) and the
-    explode volume follows the data's latitude distribution instead of
-    its worst row — the 100 TB shape (a global dataset's worst row is
-    ~90°, which would force the full-wrap disk on every row).
+    Ring sizing (``adaptive_ring=None`` resolves to adaptive unless an
+    explicit ``max_abs_lat`` opts into the uniform ring): PER ROW,
+    ASYMMETRIC, and MINIMAL-PROVABLE —
 
-    ``adaptive_ring=False`` restores the uniform ring:
+    - latitude rows: great-circle distance ≥ meridian distance, so a
+      qualifying pair's |Δlat| ≤ r; with the row's offset inside its cell
+      the row-index difference is ≤ ``floor(r / cell_h) + 1`` — exactly
+      one straddle row beyond the radius, never two;
+    - longitude columns: from the haversine identity,
+      ``sin²(Δλ/2)·cosφ_L·cosφ_R ≤ sin²(r_rad/2)``, and both latitudes lie
+      within ``r`` of the row, so ``|Δλ| ≤ 2·asin(min(1,
+      sin(r_rad/2)/cos(φ_pole)))`` with ``φ_pole = min(90, |lat|+r_deg)``;
+      columns then need ``floor(Δλ_max / cell_w) + 1``.
+
+    Equatorial rows explode a minimal rectangle; poleward rows widen only
+    in longitude (a (2kx+1)×(2ky+1) rectangle, not the square of the worse
+    axis).  The plan stays fully lazy (no sizing job) and the explode
+    volume follows the data's latitude distribution instead of its worst
+    row — the 100 TB shape (a global dataset's worst row is ~90°, which
+    would force the full-wrap disk on every row).
+
+    ``adaptive_ring=False`` (or passing an explicit ``max_abs_lat``, which
+    the adaptive path does not read) restores the uniform ring:
     :func:`min_ring_for_radius` at ``max_abs_lat`` (computed with one
     tiny agg job when None), +1 for the cell-boundary straddle.  Either
     way rings cap at 2^res (full longitude wrap — polar data at coarse
@@ -242,23 +252,34 @@ def distance_join(
     """
     lat_extent_deg = 180.0 / (1 << res)
     lat_extent_km = lat_extent_deg * (math.pi / 180.0) * EARTH_RADIUS_KM
+    if adaptive_ring is None:
+        # an explicitly tuned max_abs_lat opts into the uniform ring (the
+        # adaptive path never reads it — silent-ignore would be a trap)
+        adaptive_ring = max_abs_lat is None
     if adaptive_ring:
         r_deg = radius_km / ((math.pi / 180.0) * EARTH_RADIUS_KM)
-        poleward = F.least(
-            F.lit(90.0),
-            F.abs(F.col("lat")) + F.lit(r_deg + lat_extent_deg),
+        r_rad = radius_km / EARTH_RADIUS_KM
+        lng_extent_deg = 360.0 / (1 << res)
+        poleward = F.least(F.lit(90.0), F.abs(F.col("lat")) + F.lit(r_deg))
+        # |Δλ| bound between the two POINTS of a qualifying pair (see
+        # docstring); asin argument clamped at 1 → 180° → full wrap
+        dlmb_deg = F.degrees(
+            F.lit(2.0)
+            * F.asin(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(math.sin(r_rad / 2.0))
+                    / F.greatest(F.cos(F.radians(poleward)), F.lit(1e-300)),
+                )
+            )
         )
-        cell_w_km = F.lit(2.0 * lat_extent_km) * F.greatest(
-            F.cos(F.radians(poleward)), F.lit(1e-9)
-        )
-        k_lat = math.ceil(radius_km / lat_extent_km) + 1
         ring_col = F.least(
-            F.ceil(F.lit(radius_km) / cell_w_km).cast("long") + 1,
+            F.floor(dlmb_deg / F.lit(lng_extent_deg)).cast("long") + 1,
             F.lit(1 << res).cast("long"),
         )
         # asymmetric disk: lng columns widen poleward, lat rows never do
         ring = ring_col
-        ring_y: int | None = min(k_lat, 1 << res)
+        ring_y: int | None = min(int(radius_km // lat_extent_km) + 1, 1 << res)
     else:
         if max_abs_lat is None:
             row = (
@@ -277,6 +298,12 @@ def distance_join(
         F.col("lng").alias("l_lng"),
         cell_from_xy_expr(lx, ly, res).alias("cell"),
     )
+    # the disk explode + per-candidate haversine all run inside the right
+    # side's scan tasks; an unsplittable single-file dim input would pin
+    # the whole join to one core (no-op when the scan is already parallel)
+    from navgraph_osm_spark.sources.tables import spread_scan
+
+    right = spread_scan(right)
     rx, ry = xy_expr(F.col("lat"), F.col("lng"), res)
     rhs = (
         right.select(

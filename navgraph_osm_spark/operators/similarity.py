@@ -42,11 +42,24 @@ def cosine_topk_bruteforce(
     query_id: str = "query_id",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("q_vec"))
+    from navgraph_osm_spark.sources.tables import spread_scan
+
+    # the per-pair HOF dot products run inside the corpus scan tasks (the
+    # query side is the broadcast); spread an unsplittable one-file corpus.
+    # Norms are evaluated once per SIDE (|C| + |Q| HOF aggregates) instead
+    # of once per pair (2·|C|·|Q|) — the cosine expression tree is
+    # unchanged (dot / (q_norm * c_norm)), so values are bit-identical.
+    c = spread_scan(corpus).select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__c_norm"),
+    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__q_norm"),
+    )
     scored = q.crossJoin(c).withColumn(
         "cosine",
-        (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).cast("double"),
+        (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__q_norm") * F.col("__c_norm"))).cast("double"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

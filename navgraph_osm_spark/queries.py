@@ -1059,9 +1059,11 @@ def sp_distance_join(spark, sf_dir):
     cust = cust_points_df(spark, sf_dir).select(
         F.col("cust_id").alias("right_id"), "lat", "lng"
     )
-    out = knn_ops.distance_join(
-        pts, cust, _DIST_RADIUS_KM, res=6, max_abs_lat=85.0
-    )
+    # res sized to the radius: cells ~78 km tall at res 8 vs ~313 km at the
+    # old res 6 — the equi join's candidate volume tracks (points per cell)
+    # × (disk cells per row), minimized when cell extent ≈ radius.  The
+    # output is res-independent (exact haversine filter), oracle-verified.
+    out = knn_ops.distance_join(pts, cust, _DIST_RADIUS_KM, res=8)
     return out.select(
         "left_id", "right_id", F.round("dist_km", 6).alias("dist_km")
     )

@@ -42,7 +42,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Input split size is scale-dependent (guide §6): the bench inputs
+        # are single-digit-MB..150 MB parquet files on a many-core box, so
+        # 128 MB splits plan 1-2 scan tasks and serialize every downstream
+        # per-row computation; 16 MB splits let the row-group-level
+        # parallelism through (lineitem: 6 row groups).  On a real cluster
+        # scanning TB-scale tables set SPARK_GRAFT_MAX_PARTITION_BYTES to
+        # 512m-1g so sequential scans aren't task-scheduling bound.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

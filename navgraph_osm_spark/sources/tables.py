@@ -24,6 +24,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the rows of an UNDER-PARALLEL scan across the cluster.
+
+    Single-row-group parquet files (and any unsplittable input) plan as one
+    task no matter how `maxPartitionBytes` is set; when such a scan feeds
+    per-row-heavy work (covering-cell explodes, ray casts, HOF dot
+    products) the whole operator runs on one core (guide: input skew —
+    "one huge unsplittable file → repartition immediately after the read").
+
+    Scale-adaptive, not a local[32] constant: the repartition fires ONLY
+    when the source plans fewer partitions than
+    ``spark.sparkContext.defaultParallelism`` — a 100 TB table with
+    thousands of input splits passes through untouched, so no shuffle is
+    added at scale.  The partition-count probe is driver-side metadata
+    (file listing), not a job.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in DRIVER_TABLES}
 
