@@ -944,6 +944,93 @@ def _is_axis_rect_expr(fp_col, lat_min, lat_max, lng_min, lng_max):
     )
 
 
+def _closed_edges_expr(fp_col, rings_col):
+    """Per-ring CLOSED edge list of a footprint as
+    ``array<struct<y1,x1,y2,x2>>`` — each ring closes onto its own first
+    vertex, no cross-ring edges (column twin of
+    :func:`functions.geo._ring_edges_np`).  Evaluated once per POLYGON row
+    (before the covering-cell explode), so the per-candidate refinement
+    can be plain codegen arithmetic over ``element_at`` accesses."""
+    n = F.size(fp_col)
+    if rings_col is None:
+        starts = F.array(F.lit(0))
+    else:
+        starts = F.when(
+            rings_col.isNull() | (F.size(rings_col) == 0), F.array(F.lit(0))
+        ).otherwise(rings_col)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    bounds = F.filter(
+        F.arrays_zip(starts.alias("s"), ends.alias("e")),
+        lambda b: b["e"] > b["s"],
+    )
+
+    def _edge(i, s, e):
+        j = F.when(i + 1 == e, s).otherwise(i + 1)
+        p = F.element_at(fp_col, (i + 1).cast("int"))
+        q = F.element_at(fp_col, (j + 1).cast("int"))
+        return F.struct(
+            p["lat"].alias("y1"), p["lng"].alias("x1"),
+            q["lat"].alias("y2"), q["lng"].alias("x2"),
+        )
+
+    return F.flatten(
+        F.transform(
+            bounds,
+            lambda b: F.transform(
+                F.sequence(b["s"], b["e"] - 1), lambda i: _edge(i, b["s"], b["e"])
+            ),
+        )
+    )
+
+
+def _edge_crossing_term(lat_col, lng_col, y1, x1, y2, x2):
+    """One edge's contribution to the even-odd crossing count — the numpy
+    kernel's EXACT float expression (``points_in_polygon_np``): crossing
+    guard first, strict-``<`` intercept second, both lazily (the division
+    is unreachable when the guard is false, and the guard implies
+    ``y1 != y2``)."""
+    crosses = (y1 > lat_col) != (y2 > lat_col)
+    xint = x1 + (lat_col - y1) / (y2 - y1) * (x2 - x1)
+    return F.when(
+        crosses, F.when(lng_col < xint, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(F.lit(0))
+
+
+def _unrolled_ray_cast(lat_col, lng_col, edges_col, max_unrolled: int = 16):
+    """Even-odd ray cast over a precomputed closed edge list, UNROLLED so
+    the per-candidate work is whole-stage-codegen arithmetic (higher-order
+    functions are CodegenFallback — interpreted per row — which measured
+    ~5× slower than the numpy kernel path on dense candidate sets; the
+    unrolled form beats both).  Edges beyond ``max_unrolled`` fall through
+    to one lazily-evaluated ``aggregate`` tail, so any vertex count stays
+    correct while typical footprints never leave codegen."""
+    sz = F.size(edges_col)
+    total = F.lit(0)
+    for k in range(max_unrolled):
+        ed = F.element_at(edges_col, k + 1)
+        total = total + F.when(
+            F.lit(k) < sz,
+            _edge_crossing_term(
+                lat_col, lng_col, ed["y1"], ed["x1"], ed["y2"], ed["x2"]
+            ),
+        ).otherwise(F.lit(0))
+    tail = F.aggregate(
+        F.slice(
+            edges_col, max_unrolled + 1, F.greatest(sz - max_unrolled, F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, ed: acc
+        + _edge_crossing_term(
+            lat_col, lng_col, ed["y1"], ed["x1"], ed["y2"], ed["x2"]
+        ),
+    )
+    total = total + F.when(sz > max_unrolled, tail).otherwise(F.lit(0))
+    return F.pmod(total, F.lit(2)) == 1
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -957,6 +1044,7 @@ def point_in_polygon_join(
     broadcast_polys: bool | None = None,
     rings: str = "ring_offsets",
     carry: tuple[str, ...] = (),
+    refine: str | None = None,
 ) -> DataFrame:
     """Points ⋈ polygons containment join.
 
@@ -973,7 +1061,7 @@ def point_in_polygon_join(
     never rect-fast-pathed; single-ring rows are unaffected, so a
     rectangles-only workload still never leaves codegen.
 
-    Plan (all candidate work JVM-side):
+    Plan (the whole join JVM-side by default):
 
     1. candidates: equi join on cell (point cell vs polygon covering cells);
     2. **bbox prefilter in codegen** — half-open bounds chosen to match the
@@ -982,20 +1070,29 @@ def point_in_polygon_join(
     3. **rectangle fast path** — footprints that are exactly their bbox
        (detected per row, see :func:`_is_axis_rect_expr`) are decided by the
        prefilter alone, entirely in codegen;
-    4. only non-rectangular bbox survivors reach the Arrow-batched
-       ray-casting kernel.
+    4. non-rectangular bbox survivors refine through the PURE-COLUMN
+       even-odd ray cast (:func:`functions.geo.point_in_ring_expr`, the
+       float-exact twin of the numpy kernel) — the default ``refine="expr"``
+       path has ZERO Python stages, no pre-refinement rebalance shuffle and
+       no branch split, so the candidate join is planned exactly once.
 
     Output pairs are unique by construction (a point lies in exactly one
     cell at ``res`` and each polygon covers a cell at most once), so there is
     no distinct — no extra shuffle of the result.
 
-    When the polygon side is dim-sized (≤ ``BROADCAST_POLY_LIMIT`` rows and
+    ``refine="python"`` (implied by passing ``broadcast_polys`` explicitly)
+    restores the Arrow-batched numpy kernels — the right tool when
+    footprints are huge (10k+ vertices), where one vectorized kernel call
+    per polygon group beats a per-row O(nv) expression.  There, when the
+    polygon side is dim-sized (≤ ``BROADCAST_POLY_LIMIT`` rows and
     ≤ ``BROADCAST_VERTEX_LIMIT`` total vertices, probed with a bounded
     ``limit(n+1)`` job — never an unbounded count/collect), its vertices are
     broadcast to the refinement kernel so candidate rows carry only ids +
     point coordinates.  ``broadcast_polys=False`` forces the carry-along
     kernel (arbitrarily large polygon tables).
     """
+    from navgraph_osm_spark.sources.tables import spread_scan
+
     sc = points.sparkSession.sparkContext
     has_rings = rings in polygons.columns
     single_ring = (
@@ -1004,12 +1101,32 @@ def point_in_polygon_join(
         else F.lit(True)
     )
     poly_cols = [poly_id, fp] + ([rings] if has_rings else [])
-    pts = assign_cells(points.select(point_id, lat, lng, *carry), res, lat, lng)
+    if refine is None:
+        # an explicit broadcast_polys choice selects the kernel machinery it
+        # configures; otherwise the zero-Python expression path
+        refine = "python" if broadcast_polys is not None else "expr"
+    # candidate generation + (expr-mode) refinement run inside the point
+    # side's scan tasks when the polygon side broadcasts — spread an
+    # unsplittable single-file point input (no-op on parallel scans)
+    pts = assign_cells(
+        spread_scan(points.select(point_id, lat, lng, *carry)), res, lat, lng
+    )
+    # the covering explode + (as the probe side of a broadcast join) the
+    # whole candidate/refinement pipeline run inside the polygon side's
+    # scan tasks — spread that too (no-op on already-parallel scans)
+    poly_src = spread_scan(polygons.select(*poly_cols))
+    if exact and refine == "expr":
+        # closed edge list once per polygon ROW (pre-explode); the raw
+        # footprint is then prunable from the covering explode + join
+        poly_src = poly_src.withColumn(
+            "__edges",
+            _closed_edges_expr(F.col(fp), F.col(rings) if has_rings else None),
+        )
     # per-ring coverings when a rings column exists: separated multipolygon
     # shells cover only their own cells (hole-in-outer rows are unchanged —
     # the hole's cells are a subset of the outer covering)
     polys = covering_cells(
-        polygons.select(*poly_cols), res, fp, keep_bbox=True,
+        poly_src, res, fp, keep_bbox=True,
         rings=rings if has_rings else None,
     )
     # rect detection evaluated on the (small) polygon-cell side, not per
@@ -1031,6 +1148,11 @@ def point_in_polygon_join(
     )
     if not exact:
         return cand.select(point_id, poly_id, *carry)
+    if refine == "expr":
+        inside = F.when(F.col("__rect"), F.lit(True)).otherwise(
+            _unrolled_ray_cast(F.col(lat), F.col(lng), F.col("__edges"))
+        )
+        return cand.filter(inside).select(point_id, poly_id, *carry)
     rect_hits = cand.filter(F.col("__rect")).select(point_id, poly_id, *carry)
     rest = cand.filter(~F.col("__rect"))
 

@@ -956,8 +956,12 @@ def sp_pip_join(spark, sf_dir):
     polys = boxes_as_polygons(spark, sf_dir).unionByName(
         triangles_as_polygons(spark, sf_dir)
     ).unionByName(donuts_as_polygons(spark, sf_dir), allowMissingColumns=True)
+    # res 6 (not 8): with the point side broadcast, join cost tracks the
+    # polygon covering explode (16× fewer cells/polygon than res 8) while
+    # the extra bbox-prefilter candidates stay in cheap codegen — measured
+    # 4.6s vs 12.0s at sf1.0, identical output (res is result-invariant)
     return point_in_polygon_join(
-        pts, polys, res=8, point_id="point_id", poly_id="box_id", exact=True
+        pts, polys, res=6, point_id="point_id", poly_id="box_id", exact=True
     )
 
 
