@@ -94,16 +94,26 @@ def build_edges(
     cost (km), geom array<struct<lat,lng>>, src_cell, tgt_cell, is_border.
     """
     wn = _kept_way_nodes(ways, way_nodes)
-    used = node_usage(wn)
-    nodes_kept = nodes.join(used, nodes["id"] == used["node_id"], "inner").select(
-        F.col("id").alias("node_id"), "lat", "lng", "used"
-    )  # J1
-
-    occ = wn.select("way_id", "seq", "node_id", "oneway", "min_seq", "max_seq").join(
-        nodes_kept, "node_id"
-    )
+    # A1 + J1 in ONE pass: per-node usage attached via a window over
+    # node_id instead of a groupBy + join-back — the join-back re-planned
+    # the whole way-node pipeline a second time (the DataFrame fans out,
+    # Spark shares no subtrees), which doubled every upstream scan and
+    # shuffle.  The node join is keyed the same way, so it reuses the
+    # window's node_id partitioning.
+    w_node = Window.partitionBy("node_id")
+    occ = wn.select(
+        "way_id", "seq", "node_id", "oneway", "min_seq", "max_seq",
+        F.sum(F.when(F.col("is_endpoint"), 2).otherwise(1))
+        .over(w_node)
+        .alias("used"),
+    ).join(nodes.select(F.col("id").alias("node_id"), "lat", "lng"), "node_id")
 
     # W1 segmentation: cut_before = #split-nodes strictly before this seq.
+    # The leg cost is computed in the SAME way-keyed window pass (lag over
+    # seq) rather than per (way_id, seg) after the explode: within a
+    # segment rows are seq-contiguous, so the way-level lag equals the
+    # segment-level lag everywhere except the segment-opening duplicate of
+    # a split row, which is zeroed explicitly below — one window sort less.
     w_seq = Window.partitionBy("way_id").orderBy("seq")
     split = F.col("used") > 1
     occ = occ.withColumn(
@@ -114,6 +124,8 @@ def build_edges(
             ),
             F.lit(0),
         ),
+    ).withColumn("prev_lat", F.lag("lat").over(w_seq)).withColumn(
+        "prev_lng", F.lag("lng").over(w_seq)
     )
     # membership: split rows close segment (cut_before-1) and open (cut_before);
     # non-split rows belong to (cut_before-1) only.
@@ -129,16 +141,20 @@ def build_edges(
     ).otherwise(F.array(F.col("cut_before") - 1))
     occ = occ.withColumn("seg", F.explode(seg_array))
 
-    # W2 + A6: one groupBy per (way, segment); geometry inline, cost from legs.
-    w_leg = Window.partitionBy("way_id", "seg").orderBy("seq")
-    occ = occ.withColumn("prev_lat", F.lag("lat").over(w_leg)).withColumn(
-        "prev_lng", F.lag("lng").over(w_leg)
-    )
     leg = F.when(
-        F.col("prev_lat").isNull(), F.lit(0.0)
+        F.col("prev_lat").isNull()
+        # a split row opening segment `cut_before` is that segment's first
+        # row — its way-level lag belongs to the previous segment
+        | (split & (F.col("seg") == F.col("cut_before"))),
+        F.lit(0.0),
     ).otherwise(
         haversine_expr(F.col("prev_lat"), F.col("prev_lng"), F.col("lat"), F.col("lng"))
     )
+    # W2 + A6: one groupBy per (way, segment); geometry inline, cost from
+    # legs.  hash(way_id) satisfies the (way_id, seg) clustering, so the
+    # aggregate runs exchange-free on the window's partitioning, and rows
+    # arrive seq-sorted — the float summation order of the previous
+    # per-segment window formulation is preserved exactly.
     segs = (
         occ.withColumn("leg_cost", leg)
         .groupBy("way_id", "seg")
@@ -159,26 +175,32 @@ def build_edges(
         )
     )
 
-    fwd = segs.withColumn("direction", F.lit(0))
-    rev = (
-        segs.filter(~F.col("oneway"))
-        .select(
-            "way_id",
-            "seg",
-            "oneway",
-            "cost",
-            "n_points",
-            F.col("tgt_node").alias("src_node"),
-            F.col("tgt_lat").alias("src_lat"),
-            F.col("tgt_lng").alias("src_lng"),
-            F.col("src_node").alias("tgt_node"),
-            F.col("src_lat").alias("tgt_lat"),
-            F.col("src_lng").alias("tgt_lng"),
-            F.reverse("geom").alias("geom"),
-        )
-        .withColumn("direction", F.lit(1))
+    # §2.6 reverse edges via a 1-or-2-element explode instead of a union of
+    # two branches — a union re-plans the whole upstream pipeline per
+    # branch (same fan-out problem as the usage join-back)
+    rev = F.col("direction") == 1
+    edges = segs.withColumn(
+        "direction",
+        F.explode(
+            F.when(F.col("oneway"), F.array(F.lit(0))).otherwise(
+                F.array(F.lit(0), F.lit(1))
+            )
+        ),
+    ).select(
+        "way_id",
+        "seg",
+        "oneway",
+        "cost",
+        "n_points",
+        F.when(rev, F.col("tgt_node")).otherwise(F.col("src_node")).alias("src_node"),
+        F.when(rev, F.col("tgt_lat")).otherwise(F.col("src_lat")).alias("src_lat"),
+        F.when(rev, F.col("tgt_lng")).otherwise(F.col("src_lng")).alias("src_lng"),
+        F.when(rev, F.col("src_node")).otherwise(F.col("tgt_node")).alias("tgt_node"),
+        F.when(rev, F.col("src_lat")).otherwise(F.col("tgt_lat")).alias("tgt_lat"),
+        F.when(rev, F.col("src_lng")).otherwise(F.col("tgt_lng")).alias("tgt_lng"),
+        F.when(rev, F.reverse("geom")).otherwise(F.col("geom")).alias("geom"),
+        "direction",
     )
-    edges = fwd.unionByName(rev, allowMissingColumns=False)
 
     edges = (
         edges.withColumn("src_cell", cell_expr(F.col("src_lat"), F.col("src_lng"), res))

@@ -40,14 +40,22 @@ def knn_join(
     ring: int = 1,
     point_id: str = "point_id",
     query_id: str = "query_id",
+    keep_query_latlng: bool = False,
 ) -> DataFrame:
     """Ring-expansion kNN: (query_id, point_id, dist_km, rank ≤ k).
 
     Both inputs need (id, lat, lng).  The disk explode is pure column
     arithmetic; the join is an equi join on cell; top-k is a bounded window.
+    ``keep_query_latlng=True`` appends the query's own coordinates as
+    ``q_lat``/``q_lng`` (the adaptive driver derives its per-query coverage
+    bound from them without re-touching the query frame).
     """
+    from navgraph_osm_spark.sources.tables import spread_scan
+
     px, py = xy_expr(F.col("lat"), F.col("lng"), res)
-    pts = points.select(
+    # the equi join probes the points side inside its scan tasks (the disk
+    # side broadcasts) — spread an unsplittable single-file point input
+    pts = spread_scan(points).select(
         F.col(point_id),
         F.col("lat").alias("p_lat"),
         F.col("lng").alias("p_lng"),
@@ -73,10 +81,11 @@ def knn_join(
     # (array_distinct handles longitude wrap) — so no dedup shuffle before
     # the window
     w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(point_id).asc())
+    extra = ["q_lat", "q_lng"] if keep_query_latlng else []
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, point_id, "dist_km", "rank")
+        .select(query_id, point_id, "dist_km", "rank", *extra)
     )
 
 
@@ -106,12 +115,17 @@ def knn_join_adaptive(
     the disk (uncovered cells extend up to ring+1 cells poleward, where
     cells narrow) — escalation may over-trigger but never misses.
 
-    Round state is eagerly localCheckpoint'ed (and the prior round's
-    checkpoint unpersisted) so lineage stays flat and the per-round
-    completion check is a count on materialized data, not a fresh job.
+    Round 1 runs LAZILY on the raw query frame — no checkpoint or count
+    job fires before the first join (a single-round workload pays exactly
+    one join + one remaining-count).  Each round's top-k result (bounded:
+    ≤ |queries|·k rows) is eagerly localCheckpoint'ed so the coverage agg,
+    the semi/anti joins and the final union all read the materialized
+    rows instead of re-running the candidate join per consumer; later
+    rounds' remaining sets are checkpointed (and the prior round's
+    checkpoint unpersisted) so lineage stays flat.
     """
-    remaining = queries.select(query_id, "lat", "lng").localCheckpoint(eager=True)
-    n_remaining = remaining.count()
+    remaining = queries.select(query_id, "lat", "lng")
+    n_remaining: int | None = None
     done_parts: list[DataFrame] = []
     prev_ckpt: DataFrame | None = None
     cur_ring = ring
@@ -120,7 +134,10 @@ def knn_join_adaptive(
     for _ in range(max_rounds):
         if n_remaining == 0:
             break
-        got = knn_join(points, remaining, k, res, cur_ring, point_id, query_id)
+        got = knn_join(
+            points, remaining, k, res, cur_ring, point_id, query_id,
+            keep_query_latlng=True,
+        ).localCheckpoint(eager=True)
         # conservative guaranteed-coverage radius per query: ring rows of
         # cells are always within ring * lat_extent; the longitude extent
         # shrinks with cos(lat) and an uncovered cell can sit up to
@@ -130,9 +147,11 @@ def knn_join_adaptive(
         # width term).
         poleward_lat = F.least(
             F.lit(90.0),
-            F.abs(F.col("lat")) + F.lit((cur_ring + 1.0) * lat_extent_deg),
+            F.abs(F.col("q_lat")) + F.lit((cur_ring + 1.0) * lat_extent_deg),
         )
-        cov = got.join(remaining, query_id).groupBy(query_id).agg(
+        # q_lat rides the materialized round result, so coverage depends
+        # only on got's checkpoint — never on an unpersisted remaining set
+        cov = got.groupBy(query_id).agg(
             F.count("*").alias("n_got"),
             F.max("dist_km").alias("kth_dist"),
             F.first(
@@ -147,8 +166,13 @@ def knn_join_adaptive(
         complete = cov.filter(
             (F.col("n_got") >= k) & (F.col("kth_dist") <= F.col("safe_radius"))
         ).select(query_id)
+        # the semi join reads the materialized got plus complete's tiny agg
+        # over it — no further checkpoint needed, and no reference to any
+        # remaining checkpoint that a later round unpersists
         done_parts.append(
-            got.join(complete, query_id, "left_semi").localCheckpoint(eager=True)
+            got.join(complete, query_id, "left_semi").select(
+                query_id, point_id, "dist_km", "rank"
+            )
         )
         # one eager checkpoint per round: truncates the growing anti-join
         # lineage AND replaces the per-round isEmpty job (count on the
@@ -161,7 +185,7 @@ def knn_join_adaptive(
             prev_ckpt.unpersist()
         prev_ckpt, remaining = remaining, new_remaining
         cur_ring *= growth
-    if n_remaining > 0:
+    if n_remaining is None or n_remaining > 0:
         done_parts.append(knn_join_bruteforce(points, remaining, k, point_id, query_id))
     out = done_parts[0]
     for p in done_parts[1:]:
@@ -177,7 +201,9 @@ def knn_join_bruteforce(
     query_id: str = "query_id",
 ) -> DataFrame:
     """Exact kNN by cross join — the oracle baseline (small query sets only)."""
-    pts = points.select(
+    from navgraph_osm_spark.sources.tables import spread_scan
+
+    pts = spread_scan(points).select(
         F.col(point_id), F.col("lat").alias("p_lat"), F.col("lng").alias("p_lng")
     )
     qrs = queries.select(

@@ -92,15 +92,24 @@ def graph_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """OSM-shaped tables derived from lineitem/part (see module docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     # l_linenumber is not unique per order in this generator → derive a
-    # strictly ordered seq (row_number) identically in Spark and the oracle
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    way_nodes = li.select(
-        F.col("l_orderkey").alias("way_id"),
+    # strictly ordered seq (row_number) identically in Spark and the oracle.
+    # The way_id alias is applied BEFORE the window so the window's output
+    # partitioning is on the way_id attribute itself — downstream windows
+    # and aggregates keyed by way_id then reuse the exchange.
+    keyed = li.select(
+        F.col("l_orderkey").alias("way_id"), "l_linenumber", "l_partkey"
+    )
+    w = Window.partitionBy("way_id").orderBy("l_linenumber", "l_partkey")
+    way_nodes = keyed.select(
+        "way_id",
         F.row_number().over(w).alias("seq"),
         F.col("l_partkey").alias("node_id"),
     )
+    # ways = distinct way ids; derived straight from lineitem (identical id
+    # set) so this branch doesn't re-plan the row_number window just to
+    # throw it away
     ways = (
-        way_nodes.select("way_id")
+        li.select(F.col("l_orderkey").alias("way_id"))
         .distinct()
         .select(
             F.col("way_id").alias("id"),
@@ -2188,7 +2197,11 @@ def gb_turns(spark, sf_dir):
         "edge_id", "way_id", "cost", "src_node", "tgt_node",
         "src_cell", "tgt_cell", "src_lat", "src_lng", "tgt_lat", "tgt_lng",
     ).localCheckpoint(eager=True)
-    restrictions = _derived_restrictions(edges)
+    # the restriction table is tiny but its derivation (an adjacency
+    # self-join) fans out into the only_*/no_* branches — the semi join
+    # even gets pushed into each union arm, re-planning the derivation 4×;
+    # materialize it once (same pattern as the edges checkpoint above)
+    restrictions = _derived_restrictions(edges).localCheckpoint(eager=True)
     return turn_expand.expand_turns(edges, restrictions).select(
         "src_edge_id", "tgt_edge_id", "from_way", "to_way", "via_node",
         F.round("cost", 6).alias("cost"),

@@ -90,8 +90,11 @@ def test_cell_expr_stays_in_codegen(spark):
 def test_knn_no_dedup_shuffle(spark):
     """knn_join candidate pairs are unique by construction (grid_disk is
     array_distinct per query), so the plan must have no dedup aggregate and
-    only two exchanges: the broadcast of the disk side and the window's
-    hash partition (round-2 verdict finding #3)."""
+    at most three exchanges: the broadcast of the disk side, the window's
+    hash partition (round-2 verdict finding #3), and the conditional
+    round-robin spread of an under-parallel points scan (round-6: a
+    single-row-group parquet file plans one task; spread_scan is a no-op
+    when the scan is already parallel)."""
     from navgraph_osm_spark.operators.knn import knn_join
 
     pts = Q.points_df(spark, SF)
@@ -100,7 +103,7 @@ def test_knn_no_dedup_shuffle(spark):
     )
     p = plan_of(knn_join(pts, q, k=5, res=6, ring=3), mode="simple")
     assert "HashAggregate" not in p, p
-    assert p.count("Exchange") <= 2, p
+    assert p.count("Exchange") <= 3, p
     assert "WindowGroupLimit" in p  # partial top-k before the shuffle
 
 
