@@ -139,9 +139,14 @@ def ngram_jaccard_pairs(
         # scale, write the signature table to storage instead — the
         # reference's stage-file pattern)
         sigs = sigs.localCheckpoint(eager=True)
+        # band explode + self-join on IDS ONLY — the gram arrays are heavy
+        # payloads the bucket decision never reads (shuffling them through
+        # the explode multiplies them ×bands and the self-join sorts them
+        # twice); they re-attach to the (deduped, far smaller) pair set
+        # from the signature checkpoint afterwards (guide §8: make every
+        # shuffle but the last operate on a lightweight proxy)
         banded = sigs.select(
             id_col,
-            "grams",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -158,21 +163,23 @@ def ngram_jaccard_pairs(
                 )
             ).alias("bb"),
         ).select(
-            id_col, "grams",
+            id_col,
             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
         )
-        a = banded.select(
-            F.col(id_col).alias("id_a"), "band", "bucket",
-            F.col("grams").alias("grams_a"),
-        )
-        b = banded.select(
-            F.col(id_col).alias("id_b"), "band", "bucket",
-            F.col("grams").alias("grams_b"),
-        )
-        pairs = (
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        cand = (
             a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+        )
+        g = sigs.select(F.col(id_col), "grams")
+        pairs = cand.join(
+            g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")),
+            "id_a",
+        ).join(
+            g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")),
+            "id_b",
         )
     jac = (
         F.size(F.array_intersect("grams_a", "grams_b"))

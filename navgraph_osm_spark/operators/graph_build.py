@@ -106,7 +106,15 @@ def build_edges(
         F.sum(F.when(F.col("is_endpoint"), 2).otherwise(1))
         .over(w_node)
         .alias("used"),
-    ).join(nodes.select(F.col("id").alias("node_id"), "lat", "lng"), "node_id")
+    ).join(
+        # deliberate SHUFFLE_HASH (guide §3): the node dim is modest per
+        # partition and pre-sorted output is not needed — the sort-merge
+        # default pays two sorts of the full occurrence relation
+        nodes.select(F.col("id").alias("node_id"), "lat", "lng").hint(
+            "shuffle_hash"
+        ),
+        "node_id",
+    )
 
     # W1 segmentation: cut_before = #split-nodes strictly before this seq.
     # The leg cost is computed in the SAME way-keyed window pass (lag over

@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # one BLAS thread per python worker: Spark already runs one worker
+        # per task slot, so a multi-threaded BLAS inside each (OpenBLAS
+        # defaults to ncpu threads) oversubscribes cores quadratically —
+        # numpy kernels in mapInPandas stages measured far below linear
+        # scaling without this (guide §4: Spark supplies the parallelism,
+        # the kernel should be single-threaded vectorized code)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Input split size is scale-dependent (guide §6): the bench inputs
