@@ -198,15 +198,20 @@ def polygon_to_cells(
     - ``mode="overlap"``: the bbox covering (conservative superset,
       :func:`covering_cells` — an image overlaps every bbox cell, the
       tile-assignment semantics).
-    - ``mode="exact_overlap"``: EXACTLY the cells whose square intersects
-      the polygon — the union of the boundary's supercover
-      (:func:`polyline_to_cells` over the closed ring: any cell the
-      boundary passes through intersects) and the center-mode interior
-      (a cell with no boundary crossing is either fully inside — its
-      center is — or fully outside).  Both legs stay pure codegen; ONE
-      distinct merges them (boundary cells re-appear in the interior
-      leg only when the center also falls inside).  Tightest possible
-      tiling for non-rectangular footprints.
+    - ``mode="exact_overlap"``: the cells whose HALF-OPEN square
+      ``[k, k+1)`` (the engine's cell convention, see
+      :func:`polyline_to_cells`) intersects the polygon — the union of
+      the boundary's supercover (:func:`polyline_to_cells` over the
+      closed ring: any cell the boundary passes through intersects) and
+      the center-mode interior (a cell with no boundary crossing is
+      either fully inside — its center is — or fully outside).  A
+      polygon edge lying EXACTLY on a cell-grid line therefore claims
+      the higher-indexed side only, not the closed-boundary neighbor
+      (round-5 advice: stated convention, not a bug — buffer by an
+      epsilon for closed "touches" semantics).  Both legs stay pure
+      codegen; ONE distinct merges them (boundary cells re-appear in
+      the interior leg only when the center also falls inside).
+      Tightest possible tiling for non-rectangular footprints.
 
     MULTI-RING footprints (a ``rings`` column with start offsets): the
     center test sums crossings across ring slices — the column twin of
@@ -306,11 +311,18 @@ def polyline_to_cells(
     endpoint cells appear once), then ``explode``.  No Python, no join,
     no shuffle.
 
-    Boundary convention: a segment running exactly along a cell edge (or
-    through a corner) includes the cells on BOTH sides — supercover
-    semantics, a conservative superset (the tiling use-case wants "might
-    touch").  Longitude does not wrap: split antimeridian-crossing ways
-    upstream (:func:`split_antimeridian` emits seam-sharing parts).
+    Boundary convention (HALF-OPEN, round-5 advice): cells are the
+    half-open squares ``[k, k+1)`` in grid coordinates, so a segment
+    running exactly ALONG a cell edge (or touching a corner) lands only
+    in the higher-indexed cell — the one whose half-open interval
+    contains the coordinate — not in both neighbors.  This matches the
+    floor-based point-cell assignment everywhere else in the engine
+    (``xy_expr``); a crossing segment still collects every cell interior
+    it passes through (supercover of the open trajectory).  Callers who
+    need closed-boundary "touches" semantics for grid-aligned geometry
+    should buffer by an epsilon or use the bbox covering.  Longitude
+    does not wrap: split antimeridian-crossing ways upstream
+    (:func:`split_antimeridian` emits seam-sharing parts).
     Output (line_id, cell), unique per row by construction.
     """
     n = 1 << res

@@ -94,7 +94,13 @@ def expand_turns(
     if materialize:
         edges = edges.persist()
     a, b = turn_sides(edges)
-    return _expand_from_sides(a, b, restrictions, strict_only)
+    # deliberate SHUFFLE_HASH for the shuffled self-join (guide §3.1): the
+    # per-partition build side is bounded by the shuffle, and sort-merge
+    # paid two full sorts of the edge relation for an output nobody
+    # consumes sorted.  The cobucketed variant passes unhinted sides —
+    # there the bucket-sorted scans make the exchange-free sort-merge the
+    # right plan and a hash hint would reintroduce work.
+    return _expand_from_sides(a, b.hint("shuffle_hash"), restrictions, strict_only)
 
 
 def turn_sides(edges: DataFrame) -> tuple[DataFrame, DataFrame]:

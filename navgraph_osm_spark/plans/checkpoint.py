@@ -406,7 +406,12 @@ class StageRunner:
         surviving with their old rows."""
         t0 = time.time()
         deps = {k: results[k] for k in st.inputs}
-        df = st.fn(deps, partition_values=changed)
+        # materialize the recomputed slice ONCE (round-5 advice): the write
+        # and the lineage counts below otherwise execute st.fn twice, and a
+        # nondeterministic stage fn could then record counts disagreeing
+        # with the written files — silently degrading the next resume to a
+        # full recompute.  The slice is bounded by the changed partitions.
+        df = st.fn(deps, partition_values=changed).localCheckpoint(eager=True)
         self.writer.write_partitions(df, st.name, st.partition_by)
         out = self.writer.read(st.name)
         pcol = st.partition_by[0]
@@ -421,6 +426,7 @@ class StageRunner:
             .agg(F.count("*").alias("n"))
             .collect()
         )
+        df.unpersist()
         stale = sorted(changed_set - {str(r[pcol]) for r in new_counts})
         if stale:
             out = self._drop_output_partitions(st.name, pcol, stale)

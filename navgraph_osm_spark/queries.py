@@ -795,7 +795,7 @@ def _derived_restrictions(edges: DataFrame) -> DataFrame:
         & (F.col("a_tgt_lng") == F.col("b_src_lng"))
     )
     triples = (
-        a.join(b, "via_node")
+        a.join(b.hint("shuffle_hash"), "via_node")
         .filter(~uturn)
         .select("from_way", "via_node", "to_way")
         .distinct()

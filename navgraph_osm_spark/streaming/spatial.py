@@ -240,9 +240,10 @@ def geofence_transitions(
             for us, grp in sorted(rows.groupby("_us"), key=lambda kv: kv[0]):
                 if us <= last_us:
                     continue  # late or duplicate ping — state already past it
-                now = {
-                    int(z) for z in grp[poly_id].dropna().to_numpy(dtype=np.float64)
-                }
+                # no float64 round-trip (round-5 advice): int()/Int64
+                # pandas values convert exactly, float64 would corrupt
+                # zone ids above 2^53
+                now = {int(z) for z in grp[poly_id].dropna()}
                 t = grp[ts].iloc[0]
                 for z in sorted(now - zones):
                     out_pid.append(key[0]); out_ts.append(t)
