@@ -178,8 +178,13 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
-def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
-    """Vectorized scalar fields (everything except bytes/phash) per id."""
+def image_fields(
+    ids: np.ndarray, seed: int = 42, captions: bool = True
+) -> pd.DataFrame:
+    """Vectorized scalar fields (everything except bytes/phash) per id.
+
+    ``captions=False`` skips the (python-loop) caption synthesis for
+    consumers that never read it — generator-side column pruning."""
     ids = np.asarray(ids, dtype=np.int64)
     u_cluster = _u01(ids, seed, 1)
     lat = np.empty(ids.shape)
@@ -205,23 +210,26 @@ def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
     fmt = np.where(_u01(ids, seed, 9) < 0.5, "png", "jpeg")
     # captions: 3-8 vocab words; deterministic unicode/empty edge cases.
     # vectorized: one (n, 8) splitmix matrix, sliced per row by cap_len.
-    cap_len = 3 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 10)) % np.uint64(6)).astype(np.int64)
-    word_pos = np.arange(8, dtype=np.uint64) * np.uint64(2654435761)
-    idx_mat = (
-        splitmix64(
-            word_pos[None, :] ^ (ids.astype(np.uint64) * np.uint64(31) + np.uint64(seed))[:, None]
-        )
-        % np.uint64(len(_VOCAB))
-    ).astype(np.int64)
-    vocab = np.array(_VOCAB)
-    captions = []
-    for i, cid in enumerate(ids):
-        if cid % 97 == 0:
-            captions.append("")
-        elif cid % 101 == 0:
-            captions.append("東京 🌉 čaj ñandú")
-        else:
-            captions.append(" ".join(vocab[idx_mat[i, : cap_len[i]]]))
+    if captions:
+        cap_len = 3 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 10)) % np.uint64(6)).astype(np.int64)
+        word_pos = np.arange(8, dtype=np.uint64) * np.uint64(2654435761)
+        idx_mat = (
+            splitmix64(
+                word_pos[None, :] ^ (ids.astype(np.uint64) * np.uint64(31) + np.uint64(seed))[:, None]
+            )
+            % np.uint64(len(_VOCAB))
+        ).astype(np.int64)
+        vocab = np.array(_VOCAB)
+        caps = []
+        for i, cid in enumerate(ids):
+            if cid % 97 == 0:
+                caps.append("")
+            elif cid % 101 == 0:
+                caps.append("東京 🌉 čaj ñandú")
+            else:
+                caps.append(" ".join(vocab[idx_mat[i, : cap_len[i]]]))
+    else:
+        caps = ""
     # footprint: small quad around the point (simulated EXIF/tile metadata)
     half = 0.001 + _u01(ids, seed, 11) * 0.004
     return pd.DataFrame(
@@ -230,7 +238,7 @@ def image_fields(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
             "w": w,
             "h": h,
             "fmt": fmt,
-            "caption": captions,
+            "caption": caps,
             "lat": lat,
             "lng": lng,
             "half": half,
@@ -258,21 +266,36 @@ def _pixels_for(img_id: int, w: int, h: int, seed: int) -> np.ndarray:
     return out
 
 
-def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+def gen_images_pdf(
+    ids: np.ndarray, seed: int = 42, decode_only: bool = False
+) -> pd.DataFrame:
     """Full image rows (with encoded bytes + phash) for an id batch.
 
-    The zlib encode/decode runs per image (C-speed, shape-independent);
-    the perceptual hash of the DECODED pixels (so the lossy roundtrip
-    verifies) goes through the same-shape batched kernel
-    (codec.phash64_many) — bit-identical to the scalar path."""
+    The zlib encode runs per image (C-speed, shape-independent); the
+    perceptual hash is taken over the post-roundtrip pixels — computed
+    ARITHMETICALLY instead of via a redundant decompress (zlib is
+    lossless, so png pixels are the input pixels and the jpeg
+    quantization is the closed form ``min((x>>3)*8+4, 255)`` — exactly
+    what :func:`codec.decode_image` reconstructs; asserted by the
+    roundtrip tests).  The downstream verify stage
+    (``codec.decode_stats_batches``) still performs the real
+    decompress+decode on the bytes.  Hashing goes through the batched
+    kernel (codec.phash64_many) — bit-identical to the scalar path."""
     from navgraph_osm_spark.sources.codec import phash64_many
 
-    base = image_fields(ids, seed)
+    base = image_fields(ids, seed, captions=not decode_only)
     blobs, decoded, fps = [], [], []
     for row, img_id in zip(base.itertuples(index=False), ids):
         arr = _pixels_for(int(img_id), int(row.w), int(row.h), seed)
         blobs.append(encode_image(arr, row.fmt))
-        decoded.append(decode_image(blobs[-1]))
+        if row.fmt == "jpeg":
+            decoded.append(
+                np.minimum((arr >> 3).astype(np.uint16) * 8 + 4, 255).astype(np.uint8)
+            )
+        else:
+            decoded.append(arr)
+        if decode_only:
+            continue
         hlf = float(row.half)
         fps.append(
             [
@@ -285,6 +308,10 @@ def gen_images_pdf(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
     out = base.drop(columns=["half"])
     out["bytes"] = blobs
     out["phash"] = phash64_many(decoded) if decoded else np.empty(0, np.int64)
+    if decode_only:
+        # generator-side column pruning for the fused decode pipeline:
+        # captions/footprints are never read by the verify stage
+        return out[["image_id", "bytes", "w", "h", "fmt", "phash"]]
     out["footprint"] = fps
     return out[
         ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lng", "footprint"]
@@ -305,7 +332,7 @@ def gen_decode_stats(spark: SparkSession, n: int, seed: int = 42, partitions: in
 
     def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            full = gen_images_pdf(pdf["id"].to_numpy(), seed)
+            full = gen_images_pdf(pdf["id"].to_numpy(), seed, decode_only=True)
             yield from codec.decode_stats_batches(iter([full]))
 
     return rng.mapInPandas(_fused, schema="" + _decode_schema())
