@@ -231,9 +231,11 @@ def minhash_lsh_pairs(
     sigs = with_minhash(docs, num_hashes, seed=seed, id_col=id_col, text_col=text_col).select(
         F.col(id_col), F.col(_SIG_FIELD)
     ).localCheckpoint(eager=True)  # signature UDF runs once, not per join side
+    # band explode + bucket self-join on IDS ONLY; the (128-long) signature
+    # arrays re-attach to the deduped pair set afterwards — same
+    # lightweight-proxy shuffle shape as ngram_jaccard_pairs (guide §8)
     banded = sigs.select(
         id_col,
-        _SIG_FIELD,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -245,18 +247,26 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, _SIG_FIELD, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(_SIG_FIELD).alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(_SIG_FIELD).alias("sig_b"), "band", "bucket"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sigs.select(
+                F.col(id_col).alias("id_a"), F.col(_SIG_FIELD).alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("id_b"), F.col(_SIG_FIELD).alias("sig_b")
+            ),
+            "id_b",
+        )
     )
     est = (
         F.aggregate(

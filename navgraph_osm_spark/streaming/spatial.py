@@ -141,28 +141,38 @@ def streaming_knn_tracker(
     )
 
     def _update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        pids, dists, version = (
-            (list(state.get[0]), list(state.get[1]), state.get[2])
-            if state.exists
-            else ([], [], 0)
-        )
-        cur = list(zip(dists, pids))
+        # numpy merge (round-5 verdict #7): state + batch fold as array
+        # ops — no per-row python list rebuild, O(batch log batch) with
+        # the same deterministic (distance, point id) order as the former
+        # tuple sort
+        if state.exists:
+            pids = np.asarray(state.get[0], dtype=np.int64)
+            dists = np.asarray(state.get[1], dtype=np.float64)
+            version = state.get[2]
+        else:
+            pids = np.empty(0, dtype=np.int64)
+            dists = np.empty(0, dtype=np.float64)
+            version = 0
+        parts_p, parts_d = [pids], [dists]
         for pdf in pdfs:
-            for d, p in zip(pdf["dist_km"], pdf[point_id]):
-                cur.append((float(d), int(p)))
-        # deterministic order: distance, then point id (ties)
-        cur.sort()
-        cur = cur[:k]
+            parts_d.append(pdf["dist_km"].to_numpy(dtype=np.float64))
+            # no float hop for ids (exact above 2^53)
+            parts_p.append(pdf[point_id].to_numpy(dtype=np.int64))
+        d = np.concatenate(parts_d)
+        p = np.concatenate(parts_p)
+        order = np.lexsort((p, d))[:k]
+        d, p = d[order], p[order]
         version += 1
-        state.update(([p for _, p in cur], [d for d, _ in cur], version))
+        state.update((p.tolist(), d.tolist(), version))
         return iter([pd.DataFrame({
-            "query_id": [key[0]] * len(cur),
-            "point_id": [p for _, p in cur],
-            "dist_km": [d for d, _ in cur],
-            "rank": list(range(1, len(cur) + 1)),
-            "version": [version] * len(cur),
+            "query_id": np.full(p.size, key[0], dtype=np.int64),
+            "point_id": p,
+            "dist_km": d,
+            "rank": np.arange(1, p.size + 1, dtype=np.int32),
+            "version": np.full(p.size, version, dtype=np.int64),
         })])
 
     return cand.groupBy(query_id).applyInPandasWithState(
