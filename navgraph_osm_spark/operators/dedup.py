@@ -324,6 +324,9 @@ def simhash_pairs(
     )
 
 
+SMALL_GRAPH_EDGE_LIMIT = 100_000  # bounded driver collect: ≤ ~1.6 MB of ids
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -339,6 +342,14 @@ def cluster_pairs(
     The driver loop iterates over rounds, never rows; each round is one
     groupBy over the (small relative to corpus) pair set.
 
+    Small-graph fast path: when the (materialized) edge set fits a bounded
+    probe (``SMALL_GRAPH_EDGE_LIMIT`` rows, checked with ``limit(n+1)`` —
+    never an unbounded collect), connected components run as a driver-side
+    union-find instead of 5-10 tiny Spark rounds whose cost is pure
+    job-scheduling overhead.  Identical output (labels are
+    min-id-per-component either way); the iterative path is unchanged for
+    graphs beyond the probe.
+
     cluster_id = min doc id in the component (the canonical "keeper").
     """
     edges = (
@@ -347,6 +358,30 @@ def cluster_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    probe = edges.limit(SMALL_GRAPH_EDGE_LIMIT + 1).collect()
+    if len(probe) <= SMALL_GRAPH_EDGE_LIMIT:
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # root = min id
+        out = [(n, _find(n)) for n in parent]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            out or [], "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
