@@ -52,7 +52,9 @@ def load_calibrate(spark) -> float:
             spark.range(0, 64_000_000, 1, 32)
             .selectExpr(
                 "pmod(xxhash64(id), 65536) AS k",
-                "xxhash64(id, 1) AS v1",
+                # bounded values: ANSI mode (Spark 4 default) hard-fails a
+                # long-overflowing SUM of raw xxhash64 outputs
+                "pmod(xxhash64(id, 1), 1000000007) AS v1",
                 "xxhash64(id, 2) AS v2",
                 "cast(xxhash64(id, 3) as double) AS v3",
             )
