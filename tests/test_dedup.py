@@ -106,3 +106,30 @@ def test_embedding_near_dup(spark):
         va, vb = rows_d[r["id_a"]], rows_d[r["id_b"]]
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert abs(cos - r["cosine"]) < 1e-9 and cos >= 0.99
+
+
+def test_cluster_pairs_iterative_matches_fast_path(spark, monkeypatch):
+    """Round-6: the small-graph union-find fast path must agree with the
+    distributed label-propagation path (forced by shrinking the bounded
+    probe to zero) on a random pair set with chains and merges."""
+    import numpy as np
+    import pandas as pd
+
+    from navgraph_osm_spark.operators import dedup
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 200, 300)
+    off = rng.integers(1, 40, 300)
+    pairs_pd = pd.DataFrame({"id_a": a, "id_b": a + off}).drop_duplicates()
+    pairs = spark.createDataFrame(pairs_pd, "id_a long, id_b long")
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "SMALL_GRAPH_EDGE_LIMIT", 0)
+    slow = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert fast == slow
+    assert fast  # non-trivial graph

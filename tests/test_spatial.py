@@ -1364,3 +1364,53 @@ def test_compact_uncompact_cells(spark):
         for r in uncompact_cells(comp_df, res).collect()
     }
     assert restored == {(i, c) for i, c in rows}
+
+
+def test_pip_expr_refinement_hof_tail_beyond_unroll(spark):
+    """Round-6: the default codegen refinement unrolls 16 edges and routes
+    longer footprints through a lazily-evaluated HOF tail — a 24-vertex
+    star polygon must refine identically to the numpy kernel through BOTH
+    the expr default and the python kernel path."""
+    import numpy as np
+    import pandas as pd
+
+    from navgraph_osm_spark.functions.geo import points_in_polygon_np
+
+    rng = np.random.default_rng(11)
+    n_v = 24  # > max_unrolled=16 → exercises the aggregate tail
+    ang = np.linspace(0.0, 2 * np.pi, n_v, endpoint=False)
+    rad = np.where(np.arange(n_v) % 2 == 0, 3.0, 1.2)
+    vlat = 10.0 + rad * np.sin(ang)
+    vlng = 20.0 + rad * np.cos(ang)
+    plat = rng.uniform(6.0, 14.0, 400)
+    plng = rng.uniform(16.0, 24.0, 400)
+    want = {
+        int(i)
+        for i in np.flatnonzero(points_in_polygon_np(plat, plng, vlat, vlng))
+    }
+    pts_df = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(400), "lat": plat, "lng": plng})
+    )
+    poly_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [1],
+                "footprint": [
+                    [{"lat": float(a), "lng": float(o)} for a, o in zip(vlat, vlng)]
+                ],
+            }
+        ),
+        "poly_id long, footprint array<struct<lat:double,lng:double>>",
+    )
+    got_expr = {
+        r["point_id"]
+        for r in point_in_polygon_join(pts_df, poly_df, res=6).collect()
+    }
+    got_py = {
+        r["point_id"]
+        for r in point_in_polygon_join(
+            pts_df, poly_df, res=6, refine="python", broadcast_polys=True
+        ).collect()
+    }
+    assert got_expr == want
+    assert got_py == want
