@@ -309,15 +309,27 @@ def simhash_pairs(
         )
         for bi in range(4)
     ]
+    # band explode + bucket self-join + pair dedup on IDS ONLY; the hashes
+    # re-attach to the (deduped, far smaller) pair set from the checkpoint —
+    # the same lightweight-proxy shuffle shape as minhash_lsh_pairs
+    # (guide §8: every shuffle but the last operates on keys, not payloads)
     banded = hashed.select(
-        id_col, "simhash", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "bucket")
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            hashed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")),
+            "id_a",
+        )
+        .join(
+            hashed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")),
+            "id_b",
+        )
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -411,12 +423,13 @@ def cluster_pairs(
             ).alias("new_label"),
             "label",
         )
-        # localCheckpoint (eager) truncates lineage — iterative DataFrame
-        # plans otherwise grow exponentially across rounds.  The convergence
-        # check is ONE count on the materialized frame (no extra isEmpty
-        # job), and the prior round's checkpoint is unpersisted so executor
-        # storage stays bounded by a single round, not rounds × labels.
-        merged = merged.localCheckpoint(eager=True)
+        # LAZY localCheckpoint + count: the convergence count is the
+        # materializing action, so each round runs ONE job (the former
+        # eager-checkpoint + count pair ran two).  The checkpoint still
+        # truncates lineage — iterative DataFrame plans otherwise grow
+        # exponentially across rounds — and the prior round's checkpoint is
+        # unpersisted so executor storage stays bounded by a single round.
+        merged = merged.localCheckpoint(eager=False)
         changed = merged.filter(F.col("new_label") != F.col("label")).count()
         prev_ckpt.unpersist()
         prev_ckpt = merged
@@ -459,14 +472,29 @@ def embedding_near_dup_pairs(
     )
     probed = base.withColumn("bucket", F.explode(probes))
 
-    a = probed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("bucket0").alias("bucket"))
+    # bucket self-join + multi-probe dedup on IDS ONLY — the embedding
+    # arrays are the heavy payload (dim doubles/row) and the bucket
+    # decision never reads them: carried through the explode they are
+    # multiplied ×(planes+1) and shuffled again by the pair dedup.  They
+    # re-attach to the deduped candidate set for the exact-cosine verify
+    # (guide §8: shuffle keys, move payloads once).
+    a = probed.select(F.col(id_col).alias("id_a"), "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("bucket0").alias("bucket"))
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))  # noqa: E731
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
+            "id_b",
+        )
         .withColumn("cosine", (dot / (norm(F.col("v_a")) * norm(F.col("v_b")))).cast("double"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -808,21 +808,26 @@ def _derived_restrictions(edges: DataFrame) -> DataFrame:
         )
     )
     t3 = F.pmod(F.col("from_way") + F.col("to_way"), F.lit(3))
-    no = triples.filter(F.col("sel") == 0).select(
-        "from_way", "via_node", "to_way", t3.cast("int").alias("type")
+    # ONE pass over triples instead of a 4-arm filter/union: each union arm
+    # re-planned the whole adjacency join + distinct (Spark shares no
+    # subtrees across DataFrame fan-out), quadrupling the derivation's
+    # shuffles for what is per-row CASE arithmetic.  Same rows, same types:
+    # sel 0 → no_* (type t3), 1 → only_* (3 + t3), 2 → dangling (type 5,
+    # to_way displaced by 1e12), 3 → invalid (type −1).
+    sel = F.col("sel")
+    return triples.select(
+        "from_way",
+        "via_node",
+        F.when(sel == 2, F.col("to_way") + F.lit(10**12))
+        .otherwise(F.col("to_way"))
+        .alias("to_way"),
+        F.when(sel == 0, t3)
+        .when(sel == 1, F.lit(3) + t3)
+        .when(sel == 2, F.lit(5))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("type"),
     )
-    only = triples.filter(F.col("sel") == 1).select(
-        "from_way", "via_node", "to_way", (F.lit(3) + t3).cast("int").alias("type")
-    )
-    dangling = triples.filter(F.col("sel") == 2).select(
-        "from_way", "via_node",
-        (F.col("to_way") + F.lit(10**12)).alias("to_way"),
-        F.lit(5).cast("int").alias("type"),
-    )
-    invalid = triples.filter(F.col("sel") == 3).select(
-        "from_way", "via_node", "to_way", F.lit(-1).cast("int").alias("type")
-    )
-    return no.unionByName(only).unionByName(dangling).unionByName(invalid)
 
 
 # --------------------------- spatial ops -----------------------------------
