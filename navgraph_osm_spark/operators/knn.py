@@ -134,9 +134,19 @@ def knn_join_adaptive(
     for _ in range(max_rounds):
         if n_remaining == 0:
             break
+        # a query whose poleward latitude reaches 90° at this ring has
+        # safe_radius = 0 (the cos width term vanishes) and can NEVER
+        # certify here — and poleward only grows with the ring, so it cannot
+        # certify at any later ring either.  Skip its disk explode + join
+        # entirely: it stays in ``remaining`` (complete never matches it)
+        # and lands in the exact brute-force fallback, which is where it
+        # was headed anyway.  Results are identical — both paths are exact.
+        certifiable = (
+            F.abs(F.col("lat")) + F.lit((cur_ring + 1.0) * lat_extent_deg)
+        ) < F.lit(90.0)
         got = knn_join(
-            points, remaining, k, res, cur_ring, point_id, query_id,
-            keep_query_latlng=True,
+            points, remaining.filter(certifiable), k, res, cur_ring,
+            point_id, query_id, keep_query_latlng=True,
         ).localCheckpoint(eager=True)
         # conservative guaranteed-coverage radius per query: ring rows of
         # cells are always within ring * lat_extent; the longitude extent

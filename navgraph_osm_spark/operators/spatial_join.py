@@ -405,17 +405,47 @@ def compact_cells(
     ancestor at ``lvl`` levels up is full iff its distinct-descendant
     count equals 4^lvl, and grandparent fullness implies parent fullness,
     so intermediate levels are automatic.  Plan: explode each cell's
-    ``res`` ancestors (pure bit shifts) → one count aggregation → keep
+    ancestors (pure bit shifts) → one count aggregation → keep
     full ancestors → max-level join back → distinct.  Three shuffles
     TOTAL at any resolution — the 100 TB shape.
+
+    The ancestor explode is BOUNDED per group: an ancestor ``lvl`` levels
+    up needs 4^lvl distinct descendants, so a group holding ``m`` cells
+    can never fill an ancestor above ``floor(log4 m)`` — the explode runs
+    to ``min(res, max(1, floor(log4 m)))`` levels (per-group count via one
+    window over ``keys``), not to ``res``.  At fine resolutions this caps
+    the pre-aggregation row blowup at the group's information content
+    (log4 of its size) instead of the grid depth — e.g. res 25 with
+    1k-cell groups explodes ×5, not ×25 — for one added exchange of the
+    (deduped) input.  Result-invariant: levels above the bound can never
+    be full, so dropping them removes no collapse.
     """
     kcols = list(keys)
     base = tiles.select(*kcols, F.col(cell).alias("cell")).distinct()
-    # (cell, lvl, ancestor) for lvl 1..res — bit-shift explode
+    if kcols:
+        from pyspark.sql import Window
+
+        m = F.count("*").over(Window.partitionBy(*kcols))
+        # epsilon guards an exact-power-of-4 count against log2 rounding
+        # DOWN (which would silently skip a legitimately full level);
+        # rounding UP only adds a level that can never be full (harmless)
+        lvl_cap = F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(res),
+                F.floor((F.log2(m) + F.lit(1e-9)) / F.lit(2.0)).cast("int"),
+            ),
+        )
+    else:
+        lvl_cap = F.lit(res)
+    # window expr materialized in a Project first (a window function cannot
+    # sit inside a Generate's child expression)
+    base = base.withColumn("__lvl_cap", lvl_cap)
+    # (cell, lvl, ancestor) for lvl 1..min(res, log4(group size)) — bit-shift explode
     anc = base.select(
         *kcols,
         "cell",
-        F.explode(F.sequence(F.lit(1), F.lit(res))).alias("__lvl"),
+        F.explode(F.sequence(F.lit(1), F.col("__lvl_cap"))).alias("__lvl"),
     ).withColumn("__anc", F.expr("shiftright(cell, int(__lvl * 2))"))
     full = (
         anc.groupBy(*kcols, "__lvl", "__anc")

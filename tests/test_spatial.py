@@ -964,6 +964,36 @@ def test_compact_cells_matches_recursive_reference(spark):
     assert restored == {(i, c) for i, c in rows}
 
 
+def test_compact_cells_bounded_explode_boundaries(spark):
+    """The per-group ancestor-explode bound (min(res, floor(log4 m))) must
+    not change results at its edge cases: a group of EXACTLY 4^k cells
+    forming one full block still collapses all k levels (the epsilon guard
+    against log2 rounding down at exact powers of 4), and a tiny scattered
+    group at a deep resolution (bound clamps to 1 level) passes through
+    unchanged."""
+    from navgraph_osm_spark.operators.spatial_join import compact_cells
+
+    res = 20
+    # one full 4^3 block: 64 siblings of a single lvl-3 ancestor
+    anc = 0b1011_0110 << 10
+    full = [("F", (anc << 6) + i) for i in range(64)]
+    # exactly m = 4 cells forming one full parent (log4(4) = 1, exact)
+    p = (anc + 1) << 6
+    quad = [("Q", (p << 2) + i) for i in range(4)]
+    # 3 scattered cells, no common parent: bound floors to 1 level
+    scat = [("S", (anc + 7) << 6), ("S", ((anc + 9) << 6) + 3), ("S", ((anc + 11) << 6) + 1)]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(full + quad + scat, columns=["image_id", "cell"]),
+        "image_id string, cell long",
+    )
+    got = {}
+    for r in compact_cells(tiles, res).collect():
+        got.setdefault(r["image_id"], set()).add((r["cell"], r["cell_res"]))
+    assert got["F"] == {(anc, res - 3)}
+    assert got["Q"] == {(p, res - 1)}
+    assert got["S"] == {(c, res) for _, c in scat}
+
+
 def test_polygons_intersect_multi_ring_kernel():
     """Ring-aware intersection kernel: a shape entirely inside the
     other's HOLE reports False; crossing into the band, containing the
