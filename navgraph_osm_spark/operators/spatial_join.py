@@ -385,6 +385,46 @@ def polyline_to_cells(
     )
 
 
+def _compact_ancestors(
+    tiles: DataFrame,
+    res: int,
+    cell: str = "cell",
+    keys: tuple[str, ...] = ("image_id",),
+) -> tuple[DataFrame, DataFrame]:
+    """(base, anc) stages of :func:`compact_cells` — the deduped input and
+    its level-bounded ancestor explode.  Split out so the explode bound is
+    testable (its row count is asserted ≤ Σ_groups m·min(res, max(1,
+    floor(log4 m))) in tests)."""
+    kcols = list(keys)
+    base = tiles.select(*kcols, F.col(cell).alias("cell")).distinct()
+    if kcols:
+        from pyspark.sql import Window
+
+        m = F.count("*").over(Window.partitionBy(*kcols))
+        # epsilon guards an exact-power-of-4 count against log2 rounding
+        # DOWN (which would silently skip a legitimately full level);
+        # rounding UP only adds a level that can never be full (harmless)
+        lvl_cap = F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(res),
+                F.floor((F.log2(m) + F.lit(1e-9)) / F.lit(2.0)).cast("int"),
+            ),
+        )
+    else:
+        lvl_cap = F.lit(res)
+    # window expr materialized in a Project first (a window function cannot
+    # sit inside a Generate's child expression)
+    base = base.withColumn("__lvl_cap", lvl_cap)
+    # (cell, lvl, ancestor) for lvl 1..min(res, log4(group size)) — bit-shift explode
+    anc = base.select(
+        *kcols,
+        "cell",
+        F.explode(F.sequence(F.lit(1), F.col("__lvl_cap"))).alias("__lvl"),
+    ).withColumn("__anc", F.expr("shiftright(cell, int(__lvl * 2))"))
+    return base, anc
+
+
 def compact_cells(
     tiles: DataFrame,
     res: int,
@@ -421,32 +461,7 @@ def compact_cells(
     be full, so dropping them removes no collapse.
     """
     kcols = list(keys)
-    base = tiles.select(*kcols, F.col(cell).alias("cell")).distinct()
-    if kcols:
-        from pyspark.sql import Window
-
-        m = F.count("*").over(Window.partitionBy(*kcols))
-        # epsilon guards an exact-power-of-4 count against log2 rounding
-        # DOWN (which would silently skip a legitimately full level);
-        # rounding UP only adds a level that can never be full (harmless)
-        lvl_cap = F.greatest(
-            F.lit(1),
-            F.least(
-                F.lit(res),
-                F.floor((F.log2(m) + F.lit(1e-9)) / F.lit(2.0)).cast("int"),
-            ),
-        )
-    else:
-        lvl_cap = F.lit(res)
-    # window expr materialized in a Project first (a window function cannot
-    # sit inside a Generate's child expression)
-    base = base.withColumn("__lvl_cap", lvl_cap)
-    # (cell, lvl, ancestor) for lvl 1..min(res, log4(group size)) — bit-shift explode
-    anc = base.select(
-        *kcols,
-        "cell",
-        F.explode(F.sequence(F.lit(1), F.col("__lvl_cap"))).alias("__lvl"),
-    ).withColumn("__anc", F.expr("shiftright(cell, int(__lvl * 2))"))
+    base, anc = _compact_ancestors(tiles, res, cell, keys)
     full = (
         anc.groupBy(*kcols, "__lvl", "__anc")
         .agg(F.count("*").alias("__n"))

@@ -993,6 +993,15 @@ def test_compact_cells_bounded_explode_boundaries(spark):
     assert got["Q"] == {(p, res - 1)}
     assert got["S"] == {(c, res) for _, c in scat}
 
+    # the explode row count is exactly sum over groups of
+    # m * min(res, max(1, floor(log4 m))) — NOT m * res (the unbounded
+    # pre-round-6 shape would be (64 + 4 + 3) * 20 = 1420 rows)
+    from navgraph_osm_spark.operators.spatial_join import _compact_ancestors
+
+    _, anc_df = _compact_ancestors(tiles, res)
+    expected = 64 * 3 + 4 * 1 + 3 * 1
+    assert anc_df.count() == expected
+
 
 def test_polygons_intersect_multi_ring_kernel():
     """Ring-aware intersection kernel: a shape entirely inside the
